@@ -1,0 +1,18 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices.
+
+Kernel tests run on a virtual 8-device CPU mesh (deterministic, no TPU
+needed); the real-TPU path is exercised by bench.py and the driver's
+compile checks. Must run before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
