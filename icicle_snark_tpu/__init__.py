@@ -14,4 +14,16 @@ Public API (mirrors the reference's `src/lib.rs:219-268`):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: the limb-arithmetic graphs are large
+# and the remote-TPU (axon) compiler round-trip is slow; caching compiled
+# executables across processes mirrors the warm-cache serving posture of
+# the reference's ZKeyCache (README.md:113).
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from .prover.api import groth16_prove, groth16_verify, CacheManager  # noqa: F401

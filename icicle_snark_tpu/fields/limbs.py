@@ -91,6 +91,7 @@ class FieldSpec:
     def __post_init__(self):
         object.__setattr__(self, "p_limbs", int_to_limbs_np(self.modulus))
         object.__setattr__(self, "n0inv", np.uint32((-pow(self.modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)))
+        object.__setattr__(self, "nprime_limbs", int_to_limbs_np((-pow(self.modulus, -1, 1 << 256)) % (1 << 256)))
         r = (1 << 256) % self.modulus
         object.__setattr__(self, "r_mod", r)
         object.__setattr__(self, "r2_limbs", int_to_limbs_np(r * r % self.modulus))
@@ -188,41 +189,36 @@ def eq(a, b):
 def mont_mul(a, b, spec: FieldSpec):
     """Montgomery product a * b * R^-1 mod p (CIOS over 16-bit limbs).
 
-    a, b: (16, ...) canonical Montgomery-form limbs. Output canonical.
+    a, b: (16, ...) canonical Montgomery-form limbs; trailing dims
+    broadcast (e.g. twiddle (16,1,1,h) * data (16,B,k,h)). Column
+    accumulation is slice-wise ((16, ...)-wide vector ops, ~300 HLO ops
+    total) with lazy carries: every column stays < 2^23, far below the
+    uint32 ceiling, so no widening type is needed.
     """
-    shape = a.shape[1:]
-    zero = jnp.zeros(shape, dtype=U32)
-    cols = [zero] * (2 * NLIMB + 1)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)[1:]
+    acc = jnp.zeros((2 * NLIMB + 1,) + shape, dtype=U32)
 
-    # schoolbook product with lazy lo/hi column accumulation
+    # schoolbook product: 16 slice-accumulated partial products
     for i in range(NLIMB):
         prod = a[i][None] * b  # (16, ...) exact in uint32
-        lo = prod & MASK
-        hi = prod >> LIMB_BITS
-        for j in range(NLIMB):
-            cols[i + j] = cols[i + j] + lo[j]
-            cols[i + j + 1] = cols[i + j + 1] + hi[j]
+        acc = acc.at[i : i + NLIMB].add(prod & MASK)
+        acc = acc.at[i + 1 : i + NLIMB + 1].add(prod >> LIMB_BITS)
 
     # interleaved Montgomery reduction: kill one low column per round
-    p = spec.p_limbs
+    pbrd = jnp.asarray(spec.p_limbs.reshape((NLIMB,) + (1,) * len(shape)), dtype=U32)
     n0 = spec.n0inv
     for i in range(NLIMB):
-        v = cols[i]
-        cols[i + 1] = cols[i + 1] + (v >> LIMB_BITS)
+        v = acc[i]
         ti = v & MASK
         m = (ti * n0) & MASK
-        # broadcast m over the limb axis of p
-        mprod = m[None] * jnp.asarray(p.reshape((NLIMB,) + (1,) * len(shape)), dtype=U32)
+        mprod = m[None] * pbrd
         lo = mprod & MASK
-        hi = mprod >> LIMB_BITS
-        # column i: ti + lo[0] is ≡ 0 mod 2^16; push its carry and drop it
-        cols[i + 1] = cols[i + 1] + ((ti + lo[0]) >> LIMB_BITS)
-        for j in range(1, NLIMB):
-            cols[i + j] = cols[i + j] + lo[j]
-        for j in range(NLIMB):
-            cols[i + j + 1] = cols[i + j + 1] + hi[j]
+        # column i is never read again; push both its carries upward
+        acc = acc.at[i + 1].add((v >> LIMB_BITS) + ((ti + lo[0]) >> LIMB_BITS))
+        acc = acc.at[i + 1 : i + NLIMB].add(lo[1:])
+        acc = acc.at[i + 1 : i + NLIMB + 1].add(mprod >> LIMB_BITS)
 
-    return _carry_canonical(cols[NLIMB:], spec)
+    return _carry_canonical(list(acc[NLIMB:]), spec)
 
 
 def mont_sqr(a, spec: FieldSpec):
