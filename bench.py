@@ -1,0 +1,120 @@
+"""Headline benchmark: warm-cache Groth16 prove wall time.
+
+Mirrors the reference's benchmark protocol (README.md:100-127 /
+examples/python/main.py): the complex circuit family at N constraints
+(benchmark/100k = ComplexCircuit(100000, 100000)), measured with a warm
+ZKeyCache (device-resident proving key), proof verified after timing.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": X}
+
+vs_baseline = baseline_seconds / value (>1 means we beat the baseline).
+The baseline comes from BASELINE.json["published"]["<metric>"] when a
+locally re-measured reference number exists; until then it is 0.0
+(the reference publishes charts only, BASELINE.md).
+
+Env knobs:
+  BENCH_CONSTRAINTS  circuit size (default 100000)
+  BENCH_REPS         timed repetitions (default 3, median reported)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
+
+# persistent compile cache: repeated driver runs skip recompilation
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_fixture(n_constraints: int) -> tuple:
+    """Generate (once) and return paths for the complex-N fixture."""
+    from icicle_snark_tpu.io.wtns import write_wtns
+    from icicle_snark_tpu.setup.r1cs import complex_circuit, complex_circuit_witness
+    from icicle_snark_tpu.setup.trusted_setup import groth16_setup
+
+    d = os.path.join(FIXTURE_DIR, f"complex_{n_constraints}")
+    zkey = os.path.join(d, "circuit_final.zkey")
+    vk = os.path.join(d, "verification_key.json")
+    wtns = os.path.join(d, "witness.wtns")
+    if not (os.path.exists(zkey) and os.path.exists(wtns) and os.path.exists(vk)):
+        os.makedirs(d, exist_ok=True)
+        log(f"generating fixture complex_{n_constraints} (one-time)...")
+        t0 = time.time()
+        r1cs = complex_circuit(n_constraints, n_constraints)
+        groth16_setup(r1cs, zkey, vk)
+        write_wtns(wtns, complex_circuit_witness(r1cs, a=3))
+        log(f"fixture ready in {time.time() - t0:.1f}s")
+    return zkey, vk, wtns
+
+
+def main():
+    n_constraints = int(os.environ.get("BENCH_CONSTRAINTS", "100000"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    import jax
+
+    log(f"jax devices: {jax.devices()}")
+    zkey, vk, wtns = ensure_fixture(n_constraints)
+
+    from icicle_snark_tpu.prover import pipeline
+    from icicle_snark_tpu.prover.cache import CacheManager
+    from icicle_snark_tpu.refmath import groth16 as refproto
+
+    cm = CacheManager()
+    t0 = time.time()
+    cache = cm.get(zkey)
+    log(f"zkey cache (cold) in {time.time() - t0:.1f}s")
+
+    # warm-up: compile + first prove
+    t0 = time.time()
+    proof, public = pipeline.prove(wtns, cache, deterministic=True)
+    log(f"first prove (compile+run) in {time.time() - t0:.1f}s")
+
+    with open(vk) as fh:
+        vk_data = json.load(fh)
+    assert refproto.verify(proof, public, vk_data), "proof failed verification"
+    log("proof verified")
+
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        pipeline.prove(wtns, cache, deterministic=False)
+        times.append(time.perf_counter() - t0)
+        log(f"prove[{i}] {times[-1]:.3f}s")
+    times.sort()
+    median = times[len(times) // 2]
+
+    metric = f"groth16_prove_complex{n_constraints // 1000}k_warm"
+    baseline_s = 0.0
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")) as fh:
+            baseline_s = float(json.load(fh).get("published", {}).get(metric, 0.0))
+    except Exception:
+        pass
+    vs = (baseline_s / median) if baseline_s else 0.0
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(median, 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

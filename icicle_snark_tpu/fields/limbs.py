@@ -28,10 +28,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 NLIMB = 16
 LIMB_BITS = 16
 MASK = np.uint32(0xFFFF)
 U32 = jnp.uint32
+
+# lax.scan unroll factor for the CIOS rounds: 1 = smallest graph
+# (fastest compile), 16 = fully unrolled (no scan overhead at runtime).
+MONT_UNROLL = int(os.environ.get("ISTPU_MONT_UNROLL", "1"))
 
 
 def int_to_limbs_np(v: int) -> np.ndarray:
@@ -186,25 +192,76 @@ def eq(a, b):
     return acc == 0
 
 
-def mont_mul(a, b, spec: FieldSpec):
+def mont_mul(a, b, spec: FieldSpec, unroll: int | None = None):
     """Montgomery product a * b * R^-1 mod p (CIOS over 16-bit limbs).
 
     a, b: (16, ...) canonical Montgomery-form limbs; trailing dims
-    broadcast (e.g. twiddle (16,1,1,h) * data (16,B,k,h)). Column
-    accumulation is slice-wise ((16, ...)-wide vector ops, ~300 HLO ops
-    total) with lazy carries: every column stays < 2^23, far below the
-    uint32 ceiling, so no widening type is needed.
+    broadcast (e.g. twiddle (16,1,1,h) * data (16,B,k,h)).
+
+    Shape: a lax.scan over the 16 CIOS rounds — each round multiplies
+    one scanned limb into the running 17-column accumulator, folds in
+    m*p, and shifts down one limb. The compiled graph holds ONE ~25-op
+    round body (x unroll) instead of a ~350-op unrolled chain, which is
+    what keeps XLA compile times of the big composite kernels (point
+    adds, NTT stages, MSM) tractable. Lazy carries: every column stays
+    < 2^23 (16 rounds x <2^18 growth), far below the uint32 ceiling.
+    The round chain is the sequential dependency CIOS has anyway, so
+    runtime cost is just scan overhead (tunable via `unroll`).
     """
+    # scan over the operand with the smaller batch so the xs array is
+    # the cheap one; the other operand is read in full every round.
+    a_size = int(np.prod(a.shape[1:], dtype=np.int64)) if a.ndim > 1 else 1
+    b_size = int(np.prod(b.shape[1:], dtype=np.int64)) if b.ndim > 1 else 1
+    if a_size > b_size:
+        a, b = b, a
     shape = jnp.broadcast_shapes(a.shape, b.shape)[1:]
+    b = jnp.broadcast_to(b, (NLIMB,) + shape)
+
+    pbrd = jnp.asarray(spec.p_limbs.reshape((NLIMB,) + (1,) * len(shape)), dtype=U32)
+    n0 = spec.n0inv
+    ztop = jnp.zeros((1,) + shape, dtype=U32)
+
+    def round_(acc, a_i):
+        # acc: (17, ...) lazy columns; a_i: (...)
+        prod = a_i[None] * b  # (16, ...), exact in uint32
+        t = acc + jnp.concatenate([prod & MASK, ztop]) \
+                + jnp.concatenate([ztop, prod >> LIMB_BITS])
+        m = ((t[0] & MASK) * n0) & MASK
+        mp = m[None] * pbrd
+        t = t + jnp.concatenate([mp & MASK, ztop]) \
+              + jnp.concatenate([ztop, mp >> LIMB_BITS])
+        # t[0] == 0 mod 2^16 by construction; shift down one limb
+        carry0 = t[0] >> LIMB_BITS
+        nxt = jnp.concatenate([(t[1] + carry0)[None], t[2:], ztop])
+        return nxt, None
+
+    acc0 = jnp.zeros((NLIMB + 1,) + shape, dtype=U32)
+    xs = jnp.broadcast_to(a, (NLIMB,) + shape)
+    acc, _ = jax.lax.scan(round_, acc0, xs, unroll=unroll or MONT_UNROLL)
+    return _carry_canonical(list(acc), spec)
+
+
+def mont_sqr(a, spec: FieldSpec):
+    return mont_mul(a, a, spec)
+
+
+def redc_wide(cols, spec: FieldSpec):
+    """Montgomery-reduce a LAZY 17-column value: X * R^-1 mod p.
+
+    cols: (17, ...) uint32 columns, each < 2^31, representing
+    X = sum_k cols[k] * 2^(16k) < 2^272 < R*p. This is the reduction
+    half of CIOS run standalone — used to canonicalize segment-summed
+    accumulations (the TPU replacement for the reference's serial
+    scatter-accumulate, /root/reference/src/proof_helper.rs:81-92).
+    Per-column growth during the loop stays < 2^32: initial 2^31 plus
+    carry pushes (< 2^17) plus 15 lo-limb adds (< 2^20).
+    """
+    n_cols = cols.shape[0]
+    assert n_cols == NLIMB + 1
+    shape = cols.shape[1:]
     acc = jnp.zeros((2 * NLIMB + 1,) + shape, dtype=U32)
+    acc = acc.at[:n_cols].set(cols)
 
-    # schoolbook product: 16 slice-accumulated partial products
-    for i in range(NLIMB):
-        prod = a[i][None] * b  # (16, ...) exact in uint32
-        acc = acc.at[i : i + NLIMB].add(prod & MASK)
-        acc = acc.at[i + 1 : i + NLIMB + 1].add(prod >> LIMB_BITS)
-
-    # interleaved Montgomery reduction: kill one low column per round
     pbrd = jnp.asarray(spec.p_limbs.reshape((NLIMB,) + (1,) * len(shape)), dtype=U32)
     n0 = spec.n0inv
     for i in range(NLIMB):
@@ -213,7 +270,6 @@ def mont_mul(a, b, spec: FieldSpec):
         m = (ti * n0) & MASK
         mprod = m[None] * pbrd
         lo = mprod & MASK
-        # column i is never read again; push both its carries upward
         acc = acc.at[i + 1].add((v >> LIMB_BITS) + ((ti + lo[0]) >> LIMB_BITS))
         acc = acc.at[i + 1 : i + NLIMB].add(lo[1:])
         acc = acc.at[i + 1 : i + NLIMB + 1].add(mprod >> LIMB_BITS)
@@ -221,15 +277,105 @@ def mont_mul(a, b, spec: FieldSpec):
     return _carry_canonical(list(acc[NLIMB:]), spec)
 
 
-def mont_sqr(a, spec: FieldSpec):
-    return mont_mul(a, a, spec)
-
-
 def mont_reduce(a, spec: FieldSpec):
     """REDC by one factor: a * R^-1 mod p (i.e. mont_mul(a, 1))."""
     one = jnp.zeros_like(a)
     one = one.at[0].set(jnp.ones_like(a[0]))
     return mont_mul(a, one, spec)
+
+
+def mont_pow_const(a, exponent: int, spec: FieldSpec):
+    """a^exponent (Montgomery in/out) for a COMPILE-TIME exponent.
+
+    Implemented as a lax.scan over the exponent bits (one mont_sqr +
+    one selected mont_mul per step) so the compiled graph holds exactly
+    TWO multiplier instances regardless of exponent size — the
+    compile-friendly square-and-multiply."""
+    nbits = exponent.bit_length()
+    bits = jnp.asarray(
+        [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.uint32
+    )
+    one = jnp.broadcast_to(
+        jnp.asarray(spec.one_mont_limbs.reshape((NLIMB,) + (1,) * (a.ndim - 1)), U32),
+        a.shape,
+    )
+
+    def body(acc, bit):
+        sq = mont_mul(acc, acc, spec)
+        withmul = mont_mul(sq, a, spec)
+        return jnp.where(bit > 0, withmul, sq), None
+
+    out, _ = jax.lax.scan(body, one, bits)
+    return out
+
+
+def mont_inv(a, spec: FieldSpec):
+    """Batched modular inverse via Fermat: a^(p-2). Maps 0 -> 0."""
+    return mont_pow_const(a, spec.modulus - 2, spec)
+
+
+def batch_inv(a, spec: FieldSpec, _seq_limit: int = 512):
+    """Montgomery's batch-inversion trick along the LAST axis.
+
+    Hierarchical: the array is reshaped to (m, k) chunks, the two
+    product scans run over k steps with m parallel lanes, and the m
+    chunk totals are inverted recursively — sequential depth O(sqrt n)
+    ... O(log) levels, instead of an n-step scan. One Fermat inversion
+    total. Zero entries poison their chunk, so input must be nonzero
+    (the affine-conversion caller masks infinities first)."""
+    n = a.shape[-1]
+    one_col = jnp.asarray(
+        spec.one_mont_limbs.reshape((NLIMB,) + (1,) * (a.ndim - 1)), U32
+    )
+    if n <= _seq_limit:
+        x = jnp.moveaxis(a, -1, 0)  # (n, 16, ...)
+
+        def fwd(carry, v):
+            nxt = mont_mul(carry, v, spec)
+            return nxt, carry  # prefix EXCLUSIVE product
+
+        one = jnp.broadcast_to(one_col[..., 0], a.shape[:-1])
+        total, prefix_excl = jax.lax.scan(fwd, one, x)
+        inv_total = mont_inv(total, spec)
+
+        def bwd(carry, v):
+            v_elem, pfx = v
+            inv_elem = mont_mul(carry, pfx, spec)
+            nxt = mont_mul(carry, v_elem, spec)
+            return nxt, inv_elem
+
+        _, invs = jax.lax.scan(bwd, inv_total, (x, prefix_excl), reverse=True)
+        return jnp.moveaxis(invs, 0, -1)
+
+    # hierarchical: pad to m*k, scan chunks of k in parallel
+    k = _seq_limit
+    pad = (-n) % k
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(one_col, a.shape[:-1] + (pad,))], axis=-1
+        )
+    m = (n + pad) // k
+    resh = a.reshape(a.shape[:-1] + (m, k))
+    x = jnp.moveaxis(resh, -1, 0)  # (k, 16, ..., m)
+
+    def fwd(carry, v):
+        nxt = mont_mul(carry, v, spec)
+        return nxt, carry
+
+    one = jnp.broadcast_to(one_col, resh.shape[:-1])
+    totals, prefix_excl = jax.lax.scan(fwd, one, x)
+
+    inv_totals = batch_inv(totals, spec, _seq_limit)  # (16, ..., m)
+
+    def bwd(carry, v):
+        v_elem, pfx = v
+        inv_elem = mont_mul(carry, pfx, spec)
+        nxt = mont_mul(carry, v_elem, spec)
+        return nxt, inv_elem
+
+    _, invs = jax.lax.scan(bwd, inv_totals, (x, prefix_excl), reverse=True)
+    out = jnp.moveaxis(invs, 0, -1).reshape(a.shape)
+    return out[..., :n]
 
 
 def to_mont(a, spec: FieldSpec):

@@ -7,23 +7,29 @@ data-dependent control flow — the TPU-native shape of the same algorithm:
 
   1. window digits via limb shifts (get_scalar_digit analog,
      modular_arithmetic.h:274)
-  2. per window: argsort points by digit (XLA sort = the cub radix-sort
-     + RLE step)
+  2. per window: argsort points by (group, digit) key (XLA sort = the
+     cub radix-sort + RLE step)
   3. bucket sums WITHOUT scatter: hierarchical chunked inclusive
-     prefix-scan of the sorted points (lax.scan over K steps of
-     batched mixed adds -> work-optimal n EC adds, depth ~K*levels),
-     then bucket_b = P[end_b-1] - P[start_b-1] — a prefix-difference.
-     Complete RCB15 formulas make empty buckets (X - X = identity) and
-     boundary indices fall out with zero special cases.
-  4. window reduction Sum b*bucket_b via the suffix-sum identity
-     (= the reference's triangle sum, big_triangle_sum_kernel) using the
-     same prefix-scan machinery + a pairwise reduction tree.
+     prefix-scan of the sorted points (lax.scan over k steps of
+     batched mixed adds -> work-optimal n EC adds), then
+     bucket_b = P[end_b-1] - P[start_b-1] — a prefix-difference.
+     Complete RCB15 formulas make empty buckets and boundary indices
+     fall out with zero special cases.
+  4. window reduction sum_b b*bucket_b via suffix sums (= the
+     reference's triangle sum) using the same prefix-scan machinery.
   5. Horner over windows on host (254 doublings of a single point —
      latency-bound, so host Python ints are the right device).
 
-Scalars are treated as raw limb INTEGERS (not field values): the Groth16
-pipeline feeds standard-form witness values and Montgomery-carrying
-h-values exactly like the reference does (see SURVEY.md section 3.3).
+BATCHED GROUPS (the reference's batched-MSM mode, and the compile-time
+crux): all four G1 MSMs of a Groth16 prove run as ONE pipeline over
+group-concatenated lanes. Each element's sort key is
+group_id * 2^c + digit, so groups stay contiguous after the sort and
+the prefix-DIFFERENCE bucket extraction cancels cross-group content
+exactly. One compiled instance, 4x the VPU lanes per op.
+
+Scalars are raw limb INTEGERS (not field values): the Groth16 pipeline
+feeds standard-form witness values and h-values exactly like the
+reference does (see SURVEY.md section 3.3).
 """
 
 from __future__ import annotations
@@ -45,7 +51,7 @@ SCALAR_BITS = 256
 
 def choose_c(n: int) -> int:
     """Window size heuristic (the analog of the reference's decision
-    trees / get_optimal_c): minimize 254/c*n + 5*2^c*254/c."""
+    trees / get_optimal_c): minimize 254/c*(n + 5*2^c)."""
     best_c, best_cost = 8, None
     for c in range(8, 17):
         windows = -(-SCALAR_BITS // c)
@@ -86,7 +92,6 @@ def _chunked_inclusive_scan(points, ops, k: int, mixed: bool):
     first = points[0]
     width = first.shape[-1]
     m = width // k
-    ncoord = len(ops.coord_shape)
 
     def to_steps(a):
         # (..., m*k) -> (k, ..., m): step-major for lax.scan
@@ -94,7 +99,7 @@ def _chunked_inclusive_scan(points, ops, k: int, mixed: bool):
         return jnp.moveaxis(a, -1, 0)
 
     xs = tuple(to_steps(a) for a in points)
-    carry0 = jc.identity(ops, (m,))
+    carry0 = jc.identity(ops, points[0].shape[len(ops.coord_shape):-1] + (m,))
 
     add = jc.pmadd if mixed else jc.padd
 
@@ -121,14 +126,15 @@ class PrefixTree:
     prefix P_i for arbitrary (possibly -1 = 'empty') indices.
     """
 
-    def __init__(self, points_affine, ops, k: int = 128):
+    def __init__(self, points, ops, k: int = 128, affine: bool = True):
         self.ops = ops
         self.ks = []
         self.levels = []
 
-        width = points_affine[0].shape[-1]
-        cur = points_affine
-        mixed = True  # level 0 input is affine; higher levels projective
+        width = points[0].shape[-1]
+        batch = points[0].shape[len(ops.coord_shape):-1]
+        cur = points
+        mixed = affine  # level 0 may be affine; higher levels projective
         while True:
             kl = min(k, width)
             pad = (-width) % kl
@@ -137,8 +143,8 @@ class PrefixTree:
                     # affine (0,0) is treated as the identity by pmadd
                     filler = tuple(jnp.zeros(a.shape[:-1] + (pad,), dtype=a.dtype) for a in cur)
                 else:
-                    filler = jc.identity(ops, (pad,))
-                cur = tuple(jnp.concatenate([a, f], axis=-1) for a, f in zip(cur, filler))
+                    filler = jc.identity(ops, batch + (pad,))
+                cur = tuple(jnp.concatenate([a, jnp.broadcast_to(f, a.shape[:-1] + (pad,))], axis=-1) for a, f in zip(cur, filler))
                 width += pad
             inclusive, totals = _chunked_inclusive_scan(cur, ops, kl, mixed)
             self.ks.append(kl)
@@ -151,116 +157,194 @@ class PrefixTree:
                 break
 
     def query(self, idx: jnp.ndarray):
-        """P_idx (inclusive, identity for idx < 0); idx: (...,) int32."""
+        """P_idx (inclusive, identity for idx < 0); idx: (...,) int32.
+
+        Gathers along the last axis only: leading batch dims of the
+        tree arrays broadcast against idx's shape."""
         ops = self.ops
-        acc = jc.identity(ops, idx.shape)
+        batch = self.levels[0][0].shape[len(ops.coord_shape):-1]
+        acc = jc.identity(ops, batch + idx.shape)
         i = idx
         valid = i >= 0
         for kl, incl in zip(self.ks, self.levels):
             safe = jnp.maximum(i, 0)
             contrib = tuple(_gather_last(a, safe) for a in incl)
-            term = jc.pselect(ops, valid, contrib, jc.identity(ops, idx.shape))
+            term = jc.pselect(ops, valid, contrib, jc.identity(ops, batch + idx.shape))
             acc = jc.padd(ops, acc, term)
             i = (safe // kl) - 1
             valid = valid & (i >= 0)
         return acc
 
 
-def _tree_reduce(points, ops):
-    """Pairwise reduction of (coords..., m) -> single point (log depth)."""
+def _roll_reduce(points, ops):
+    """Sum of the last axis -> (coords...,), via log2 rounds of
+    padd(x, roll(x, -2^i)) inside ONE fori_loop (one compiled padd
+    instance regardless of width — the compile-time replacement for a
+    shape-halving tree). Lane 0's dependency cone never crosses the
+    wrap-around, so no masking is needed; order is fixed ->
+    deterministic results."""
     width = points[0].shape[-1]
-    while width > 1:
-        if width % 2:
-            ident = jc.identity(ops, (1,))
-            points = tuple(
-                jnp.concatenate([a, jnp.broadcast_to(b, b.shape[:-1] + (1,))], axis=-1)
-                for a, b in zip(points, ident)
-            )
-            width += 1
-        lhs = tuple(a[..., 0::2] for a in points)
-        rhs = tuple(a[..., 1::2] for a in points)
-        points = jc.padd(ops, lhs, rhs)
-        width //= 2
-    return tuple(a[..., 0] for a in points)
+    pad = (1 << max(width - 1, 1).bit_length()) - width if width & (width - 1) else 0
+    if pad:
+        ncoord = len(ops.coord_shape)
+        ident = jc.identity(ops, points[0].shape[ncoord:-1] + (pad,))
+        points = tuple(
+            jnp.concatenate([a, jnp.broadcast_to(b, a.shape[:-1] + (pad,))], axis=-1)
+            for a, b in zip(points, ident)
+        )
+        width += pad
+    log_w = width.bit_length() - 1
+    if log_w == 0:
+        return tuple(a[..., 0] for a in points)
+
+    stacked = jc.point_stack(points)
+
+    def body(i, pts):
+        shift = jax.lax.shift_left(1, i)
+        rolled = jnp.roll(pts, -shift, axis=-1)
+        new = jc.padd(ops, jc.point_unstack(pts), jc.point_unstack(rolled))
+        return jc.point_stack(new)
+
+    out = jax.lax.fori_loop(0, log_w, body, stacked)
+    return tuple(a[..., 0] for a in jc.point_unstack(out))
 
 
-# ------------------------------------------------------------------ windows
+def _suffix_scan(points, ops):
+    """Inclusive suffix sums along the last axis (Hillis-Steele over
+    log2 rounds in ONE fori_loop; masked so short suffixes stay exact)."""
+    width = points[0].shape[-1]
+    assert width & (width - 1) == 0, "suffix scan expects power-of-two width"
+    log_w = width.bit_length() - 1
+    idx = jnp.arange(width)
+    stacked = jc.point_stack(points)
 
-def _window_sum(points_affine, digits, ops, c: int, k: int):
-    """Bucket-accumulate and reduce ONE window. digits: (n,) uint32."""
-    n = digits.shape[0]
+    def body(i, pts):
+        shift = jax.lax.shift_left(1, i)
+        rolled = jnp.roll(pts, -shift, axis=-1)
+        cur = jc.point_unstack(pts)
+        summed = jc.padd(ops, cur, jc.point_unstack(rolled))
+        keep = (idx + shift) < width
+        return jc.point_stack(jc.pselect(ops, keep, summed, cur))
+
+    out = jax.lax.fori_loop(0, log_w, body, stacked)
+    return jc.point_unstack(out)
+
+
+# kept for the cross-device combine in parallel/msm_shard.py
+def _tree_reduce(points, ops):
+    return _roll_reduce(points, ops)
+
+
+# ------------------------------------------------------------------ batched core
+
+def _window_sum_grouped(points, keys_w, ops, c: int, n_groups: int, k: int):
+    """Bucket-accumulate and reduce ONE window for all groups at once.
+
+    points: group-concatenated (+pad) point arrays, (coords..., total).
+    keys_w: (total,) int32 sort keys  group_id*B + digit  (pad lanes
+            carry the sentinel key n_groups*B, sorting to the end).
+    Returns per-group window values, (coords..., n_groups).
+    """
     n_buckets = 1 << c
 
-    order = jnp.argsort(digits)
-    d_sorted = digits[order]
-    pts = tuple(_gather_last(a, order) for a in points_affine)
+    order = jnp.argsort(keys_w)
+    k_sorted = keys_w[order]
+    pts = tuple(_gather_last(a, order) for a in points)
 
     tree = PrefixTree(pts, ops, k=k)
 
-    bucket_ids = jnp.arange(n_buckets, dtype=digits.dtype)
-    ends = jnp.searchsorted(d_sorted, bucket_ids, side="right").astype(jnp.int32)
+    bucket_ids = jnp.arange(n_groups * n_buckets, dtype=jnp.int32)
+    ends = jnp.searchsorted(k_sorted, bucket_ids, side="right").astype(jnp.int32)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
 
-    p_end = tree.query(ends - 1)
-    p_start = tree.query(starts - 1)
-    buckets = jc.padd(ops, p_end, jc.pneg(ops, p_start))  # (coords..., B)
+    # one batched query for both boundaries (halves compiled instances)
+    both = tree.query(jnp.concatenate([ends, starts]) - 1)
+    p_end = tuple(a[..., : n_groups * n_buckets] for a in both)
+    p_start = tuple(a[..., n_groups * n_buckets :] for a in both)
+    buckets = jc.padd(ops, p_end, jc.pneg(ops, p_start))  # (coords..., G*B)
 
-    # window value = sum_{b>=1} b * bucket_b = sum of suffix sums S_1..S_{B-1}
-    rev = tuple(a[..., ::-1] for a in buckets)
-    suffix_tree = PrefixTree(rev, ops, k=k)
-    # level-0 inclusive prefixes of rev ARE partial suffix sums only within
-    # chunks; we need the full prefix at every position -> query all.
-    all_idx = jnp.arange(n_buckets - 1, dtype=jnp.int32)  # drop S_0 (last rev slot)
-    suffix = suffix_tree.query(all_idx)
-    return _tree_reduce(suffix, ops)
+    # (coords..., G, B): window value per group = sum_{b>=1} b*bucket_b
+    # = sum of suffix sums S_1..S_{B-1}
+    buckets = tuple(a.reshape(a.shape[:-1] + (n_groups, n_buckets)) for a in buckets)
+    suffix = _suffix_scan(buckets, ops)  # S_j at position j
+    return _roll_reduce(tuple(a[..., 1:] for a in suffix), ops)  # (coords..., G)
 
 
-def msm_device(scalars, points_affine, ops, c: int, k: int = 128):
-    """All window sums on device. scalars: (16, n) raw integer limbs.
+def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 128):
+    """All window sums for a LIST of (scalars, points) groups sharing
+    one compiled pipeline. scalars: (16, n_g) raw integer limbs; points:
+    affine coordinate tuples (coords..., n_g).
 
-    Returns window sums, a tuple of (coords..., n_windows) arrays.
+    Returns window sums, a tuple of 3 arrays (coords..., G, n_windows).
     """
-    digits = window_digits(scalars, c)  # (W, n)
+    n_groups = len(scalar_groups)
+    n_buckets = 1 << c
+    sizes = [s.shape[-1] for s in scalar_groups]
+    total = sum(sizes)
+    pad = (-total) % k
 
-    def body(_, d):
-        return None, jc.point_stack(_window_sum(points_affine, d, ops, c, k))
+    digs = [window_digits(s, c) for s in scalar_groups]  # (W, n_g) each
+    keys = [
+        d.astype(jnp.int32) + np.int32(g * n_buckets) for g, d in enumerate(digs)
+    ]
+    keys = jnp.concatenate(keys, axis=-1)
+    if pad:
+        sentinel = jnp.full((keys.shape[0], pad), n_groups * n_buckets, jnp.int32)
+        keys = jnp.concatenate([keys, sentinel], axis=-1)
 
-    _, stacked = jax.lax.scan(body, None, digits)
-    # stacked: (W, 3, coords...); -> tuple of 3 arrays (coords..., W)
+    ncoords = len(point_groups[0])
+    points = []
+    for i in range(ncoords):
+        arrs = [pg[i] for pg in point_groups]
+        cat = jnp.concatenate(arrs, axis=-1)
+        if pad:
+            # (0,0) encodes infinity; pad lanes sort last and are only
+            # touched by prefix sums where they add the identity
+            cat = jnp.concatenate(
+                [cat, jnp.zeros(cat.shape[:-1] + (pad,), cat.dtype)], axis=-1
+            )
+        points.append(cat)
+    points = tuple(points)
+
+    def body(_, keys_w):
+        ws = _window_sum_grouped(points, keys_w, ops, c, n_groups, k)
+        return None, jc.point_stack(ws)
+
+    _, stacked = jax.lax.scan(body, None, keys)
+    # stacked: (W, 3, coords..., G) -> tuple of 3 arrays (coords..., G, W)
     moved = jnp.moveaxis(stacked, 0, -1)
     return (moved[0], moved[1], moved[2])
 
+
+# ------------------------------------------------------------------ host side
 
 def _limbs_to_fq(arr) -> int:
     return fq_from_mont(lb.limbs_to_ints_np(np.asarray(arr).reshape(NLIMB, 1))[0])
 
 
-def _window_points_to_host_g1(wsums) -> list:
+def window_points_to_host_g1(wsums, g: int = 0) -> list:
+    """wsums: tuple of (16, G, W) -> list of W host projective points."""
     xs, ys, zs = (np.asarray(a) for a in wsums)
-    n_w = xs.shape[-1]
-    out = []
-    for w in range(n_w):
-        p = (
-            _limbs_to_fq(xs[:, w]),
-            _limbs_to_fq(ys[:, w]),
-            _limbs_to_fq(zs[:, w]),
+    return [
+        (
+            _limbs_to_fq(xs[:, g, w]),
+            _limbs_to_fq(ys[:, g, w]),
+            _limbs_to_fq(zs[:, g, w]),
         )
-        out.append(p)
-    return out
+        for w in range(xs.shape[-1])
+    ]
 
 
-def _window_points_to_host_g2(wsums) -> list:
-    xs, ys, zs = (np.asarray(a) for a in wsums)
-    n_w = xs.shape[-1]
-    out = []
-    for w in range(n_w):
-        p = (
-            (_limbs_to_fq(xs[0, :, w]), _limbs_to_fq(xs[1, :, w])),
-            (_limbs_to_fq(ys[0, :, w]), _limbs_to_fq(ys[1, :, w])),
-            (_limbs_to_fq(zs[0, :, w]), _limbs_to_fq(zs[1, :, w])),
+def window_points_to_host_g2(wsums, g: int = 0) -> list:
+    xs, ys, zs = (np.asarray(a) for a in wsums)  # each (16, 2, G, W)
+    return [
+        (
+            (_limbs_to_fq(xs[:, 0, g, w]), _limbs_to_fq(xs[:, 1, g, w])),
+            (_limbs_to_fq(ys[:, 0, g, w]), _limbs_to_fq(ys[:, 1, g, w])),
+            (_limbs_to_fq(zs[:, 0, g, w]), _limbs_to_fq(zs[:, 1, g, w])),
         )
-        out.append(p)
-    return out
+        for w in range(xs.shape[-1])
+    ]
 
 
 def horner_combine(window_points, c: int, g2: bool = False):
@@ -277,28 +361,46 @@ def horner_combine(window_points, c: int, g2: bool = False):
     return acc
 
 
+# ------------------------------------------------------------------ public API
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _msm_g1_jit(scalar_groups, point_groups, c, k):
+    return msm_device_grouped(list(scalar_groups), list(point_groups), jc.FqOps, c, k)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _msm_g2_jit(scalar_groups, point_groups, c, k):
+    return msm_device_grouped(list(scalar_groups), list(point_groups), jc.Fq2Ops, c, k)
+
+
+def msm_g1_many(groups, c: int | None = None, k: int = 128) -> list:
+    """Batched G1 MSMs: groups = [(scalars (16,n_i), (x, y)), ...].
+    Returns a list of host projective points (ints, standard form)."""
+    n = max(s.shape[-1] for s, _ in groups)
+    c = c or choose_c(n)
+    wsums = _msm_g1_jit(
+        tuple(s for s, _ in groups), tuple(p for _, p in groups), c, k
+    )
+    return [
+        horner_combine(window_points_to_host_g1(wsums, g), c)
+        for g in range(len(groups))
+    ]
+
+
 def msm_g1(scalars, points_affine, c: int | None = None, k: int = 128):
-    """Full G1 MSM. scalars (16,n) uint32 limbs (integer semantics),
+    """Single G1 MSM. scalars (16,n) uint32 limbs (integer semantics),
     points (x, y) tuple of (16, n) Montgomery-form coordinate limbs.
     Returns a host projective point (ints, standard form)."""
-    n = scalars.shape[-1]
-    c = c or choose_c(n)
-    wsums = _msm_g1_jit(scalars, points_affine, c, k)
-    return horner_combine(_window_points_to_host_g1(wsums), c)
+    return msm_g1_many([(scalars, points_affine)], c=c, k=k)[0]
 
 
 def msm_g2(scalars, points_affine, c: int | None = None, k: int = 128):
     n = scalars.shape[-1]
     c = c or choose_c(n)
-    wsums = _msm_g2_jit(scalars, points_affine, c, k)
-    return horner_combine(_window_points_to_host_g2(wsums), c, g2=True)
+    wsums = _msm_g2_jit((scalars,), (points_affine,), c, k)
+    return horner_combine(window_points_to_host_g2(wsums, 0), c, g2=True)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _msm_g1_jit(scalars, points_affine, c, k):
-    return msm_device(scalars, points_affine, jc.FqOps, c, k)
-
-
-@partial(jax.jit, static_argnums=(2, 3))
-def _msm_g2_jit(scalars, points_affine, c, k):
-    return msm_device(scalars, points_affine, jc.Fq2Ops, c, k)
+# back-compat aliases used by the parallel layer
+_window_points_to_host_g1 = window_points_to_host_g1
+_window_points_to_host_g2 = window_points_to_host_g2

@@ -1,0 +1,181 @@
+"""Device-resident proving-key cache.
+
+The analog of the reference's ZKeyCache/CacheManager
+(/root/reference/src/cache.rs:58-262): parse the zkey once, upload all
+MSM bases and the coefficient table, and precompute the coset key
+powers. Differences, by TPU design:
+
+  * Points and coefficients stay in Montgomery form — the limb field
+    layer's internal radix IS the snarkjs on-disk radix (R = 2^256), so
+    no from_mont conversion pass exists at all (the reference launches
+    device conversion kernels, cache.rs:208-214).
+  * The reference's per-prove serial scatter-accumulate
+    (proof_helper.rs:81-92) is replaced by a STATIC GATHER/SEGMENT plan
+    built here once per zkey: records sorted by output slot, witness
+    gather indices, and segment boundaries. Every prove is then one
+    gather + one batched modular multiply + one segment reduction —
+    all on device (see pipeline.construct_r1cs).
+  * Coset key powers are generated on device by log-doubling
+    (ops.ntt.powers_mont) instead of the reference's disk-memoized
+    host loop (cache.rs:264-289), and stored pre-permuted into
+    bit-reversed order so the NTT pipeline never reorders.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import limbs as lb
+from ..fields.limbs import NLIMB
+from ..io.zkey import ZKeyFile, ZKeyHeader
+from ..ops.ntt import bitrev_permutation, get_domain, powers_mont, release_domain
+from ..refmath.field import W
+
+# segment_sum over 16-bit limb columns is exact while every output slot
+# receives < 2^16 terms; longer segments get a two-level plan below.
+_SEG_CHUNK = 1 << 15
+
+
+@dataclass
+class R1CSPlan:
+    """Static evaluation plan for out[m*n + c] += coef * witness[s]."""
+
+    witness_idx: jnp.ndarray  # (n_coef_padded,) int32 gather indices into witness
+    coefs: jnp.ndarray        # (16, n_coef_padded) Montgomery limbs
+    segments: jnp.ndarray     # (n_coef_padded,) int32 sorted output slots
+    num_segments: int         # 2*domain_size (+1 pad slot)
+    level2: tuple | None      # (segments2, num_segments2) when fan-in > _SEG_CHUNK
+
+
+@dataclass
+class ZKeyCache:
+    header: ZKeyHeader
+    plan: R1CSPlan
+    points_a: tuple    # (x, y): each (16, n_vars)
+    points_b1: tuple
+    points_b2: tuple   # (x, y): each (2, 16, n_vars)
+    points_c: tuple
+    points_h: tuple
+    keys_bitrev: jnp.ndarray  # (16, n) Montgomery coset key powers, bit-reversed
+
+
+def _g1_device(words: np.ndarray) -> tuple:
+    """(n, 16) u32 Montgomery affine words -> ((16,n),(16,n)) device limbs."""
+    x = jnp.asarray(lb.u32x8_to_limbs(words[:, :8]))
+    y = jnp.asarray(lb.u32x8_to_limbs(words[:, 8:16]))
+    return (x, y)
+
+
+def _g2_device(words: np.ndarray) -> tuple:
+    """(n, 32) u32 -> ((16,2,n),(16,2,n)) limb-major Fq2 stacks."""
+    x = jnp.stack(
+        [jnp.asarray(lb.u32x8_to_limbs(words[:, :8])), jnp.asarray(lb.u32x8_to_limbs(words[:, 8:16]))],
+        axis=1,
+    )
+    y = jnp.stack(
+        [jnp.asarray(lb.u32x8_to_limbs(words[:, 16:24])), jnp.asarray(lb.u32x8_to_limbs(words[:, 24:32]))],
+        axis=1,
+    )
+    return (x, y)
+
+
+def build_r1cs_plan(m_arr, c_arr, s_arr, coef_words, domain_size: int) -> R1CSPlan:
+    """Sort the coefficient table by output slot and pad (host, once)."""
+    n = domain_size
+    out_slot = m_arr.astype(np.int64) * n + c_arr.astype(np.int64)
+    order = np.argsort(out_slot, kind="stable")
+    slot_sorted = out_slot[order]
+    s_sorted = s_arr[order].astype(np.int32)
+    coef_sorted = coef_words[order]
+
+    n_coef = len(order)
+    pad = (-n_coef) % 256
+    if pad:
+        slot_sorted = np.concatenate([slot_sorted, np.full(pad, 2 * n, dtype=np.int64)])
+        s_sorted = np.concatenate([s_sorted, np.zeros(pad, dtype=np.int32)])
+        coef_sorted = np.concatenate(
+            [coef_sorted, np.zeros((pad, coef_words.shape[1]), dtype=np.uint32)]
+        )
+
+    seg_len = np.bincount(slot_sorted.astype(np.int64), minlength=2 * n + 1)
+    level2 = None
+    if seg_len.max() >= _SEG_CHUNK:
+        # two-level plan: chunk long segments, reduce chunks exactly,
+        # then segment-reduce the canonical chunk values.
+        pos_in_seg = np.arange(len(slot_sorted)) - np.repeat(
+            np.concatenate([[0], np.cumsum(seg_len)[:-1]]), seg_len
+        )
+        chunk_of = pos_in_seg // _SEG_CHUNK
+        # unique (slot, chunk) pairs -> level-1 segment ids
+        pair = slot_sorted * ((seg_len.max() // _SEG_CHUNK) + 1) + chunk_of
+        uniq, level1 = np.unique(pair, return_inverse=True)
+        seg2 = (uniq // ((seg_len.max() // _SEG_CHUNK) + 1)).astype(np.int32)
+        segments = jnp.asarray(level1.astype(np.int32))
+        num_segments = len(uniq)
+        level2 = (jnp.asarray(seg2), 2 * n + 1)
+    else:
+        segments = jnp.asarray(slot_sorted.astype(np.int32))
+        num_segments = 2 * n + 1
+
+    return R1CSPlan(
+        witness_idx=jnp.asarray(s_sorted),
+        coefs=jnp.asarray(lb.u32x8_to_limbs(coef_sorted)),
+        segments=segments,
+        num_segments=num_segments,
+        level2=level2,
+    )
+
+
+def load_zkey_cache(zkey_path: str) -> ZKeyCache:
+    zk = ZKeyFile(zkey_path)
+    hdr = zk.header
+    n = hdr.domain_size
+
+    m_arr, c_arr, s_arr, coef_words = zk.coefficients()
+    plan = build_r1cs_plan(m_arr, c_arr, s_arr, coef_words, n)
+
+    inc = W[hdr.power + 1]  # coset generator g with g^n = -1 (cache.rs:168)
+    keys = powers_mont(inc, hdr.power)  # (16, n) Montgomery, device-generated
+    keys_bitrev = keys[:, jnp.asarray(bitrev_permutation(hdr.power))]
+
+    get_domain(hdr.power)  # warm the twiddle cache (reference: initialize_domain)
+
+    cache = ZKeyCache(
+        header=hdr,
+        plan=plan,
+        points_a=_g1_device(zk.points_a()),
+        points_b1=_g1_device(zk.points_b1()),
+        points_b2=_g2_device(zk.points_b2()),
+        points_c=_g1_device(zk.points_c()),
+        points_h=_g1_device(zk.points_h()),
+        keys_bitrev=keys_bitrev,
+    )
+    return cache
+
+
+class CacheManager:
+    """Keyed zkey cache surviving across prove calls
+    (reference: CacheManager, src/cache.rs:110-262; key = zkey path —
+    there is exactly one device policy here, so no device suffix)."""
+
+    def __init__(self):
+        self._caches: dict = {}
+
+    def contains(self, zkey_path: str) -> bool:
+        return zkey_path in self._caches
+
+    def get(self, zkey_path: str) -> ZKeyCache:
+        if zkey_path not in self._caches:
+            self._caches[zkey_path] = load_zkey_cache(zkey_path)
+        return self._caches[zkey_path]
+
+    def evict(self, zkey_path: str | None = None):
+        if zkey_path is None:
+            self._caches.clear()
+            release_domain()
+        else:
+            self._caches.pop(zkey_path, None)

@@ -1,0 +1,194 @@
+"""The Groth16 prove pipeline on TPU.
+
+Mirrors the reference's value flow exactly
+(/root/reference/src/proof_helper.rs:31-317) so proofs are bit-exact,
+but maps each stage to its TPU-native form:
+
+  stage                reference (CUDA)                      here (JAX/XLA)
+  -------------------  ------------------------------------  -------------------------
+  witness ingest       mmap + H2D + from_mont kernel         zero-copy u32 -> limb view
+  R1CS evaluation      mul_scalars + SERIAL host scatter     gather + mont_mul +
+                       (proof_helper.rs:75-92)               segment_sum + wide REDC
+  A*B -> C             device vector mul                     mont_mul
+  coset evaluation     INTT/NTT batch=3 + key-powers mul     reorder-free bitrev INTT/
+                       (ntt_helper, icicle_helper.rs:356)    NTT pair, keys pre-bitrev
+  h values             L*R-O on coset (proof_helper.rs:152)  mont_mul/sub + R^2 fixup
+  5 MSMs               Pippenger on 2 CUDA streams           ops.msm window pipeline
+  randomization        host projective ops via FFI           refmath host points
+  serialization        decimal strings (conversions.rs:267)  same format, same bytes
+
+Montgomery bookkeeping (R = 2^256, the snarkjs on-disk radix):
+  coef_disk = c*R, witness = w (standard)
+  prod      = mont_mul(coef_disk, w) = c*w           == res*R, res per reference
+  a_vals    = redc(segment_sum(prod)) = sum(res)     (standard — matches oracle)
+  c_vals    = mont_mul(a, b) = a*b*R^-1              (carries R^-1)
+  coset     = mont_mul(x, key*R) = x*key             (factors preserved)
+  h_raw     = mont_mul(A_odd, B_odd) - C_odd         == h*R^-1
+  h         = mont_mul(h_raw, R^2)                   (the H MSM scalar integers)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import limbs as lb
+from ..fields.limbs import FR_SPEC, NLIMB
+from ..ops import msm as msm_ops
+from ..ops import ntt as ntt_ops
+from ..refmath import curve as cv
+from ..refmath.field import R_MOD, MONT_R_FR
+from ..refmath.groth16 import serialize_proof
+from ..io.wtns import WtnsFile
+from .cache import R1CSPlan, ZKeyCache
+
+_R2_FR = MONT_R_FR * MONT_R_FR % R_MOD
+
+
+def _segment_reduce(prod, segments, num_segments, level2):
+    """Exact modular segmented sum of canonical (16, n) limb values.
+
+    Limb-wise integer segment_sum (each 16-bit limb column accumulates
+    < 2^16 terms, so uint32 never overflows), then one wide Montgomery
+    reduction back to canonical form. Two-level plans (fan-in >= 2^15)
+    chunk first and re-reduce; the extra R^-1 picked up by the second
+    REDC is repaid by the caller via `carries_extra_rinv`.
+    """
+    def segsum_redc(vals, seg, nseg):
+        # (16, n) -> (17, n) lazy columns via segment_sum, then REDC
+        cols = jax.vmap(
+            lambda row: jax.ops.segment_sum(row, seg, num_segments=nseg)
+        )(vals)
+        cols = jnp.concatenate([cols, jnp.zeros((1,) + cols.shape[1:], lb.U32)], axis=0)
+        return lb.redc_wide(cols, FR_SPEC)
+
+    out = segsum_redc(prod, segments, num_segments)
+    if level2 is not None:
+        seg2, nseg2 = level2
+        out = segsum_redc(out, seg2, nseg2)
+    return out
+
+
+@partial(jax.jit, static_argnames=("num_segments", "nseg2", "log_n"))
+def _construct_r1cs_jit(
+    witness, coefs, witness_idx, segments, num_segments,
+    seg2, nseg2, keys_bitrev, tw_fwd, tw_inv, n_inv_mont, log_n,
+):
+    """witness (16, n_vars) standard limbs -> h scalars (16, n) standard."""
+    n = 1 << log_n
+
+    # ---- R1CS evaluation: one gather + batched mul + segment reduce
+    wit_g = jnp.take(witness, witness_idx, axis=1)
+    prod = lb.mont_mul(coefs, wit_g, FR_SPEC)  # = res * R (Montgomery form)
+    level2 = (seg2, nseg2) if seg2 is not None else None
+    ab = _segment_reduce(prod, segments, num_segments, level2)
+    # slots [0, n) = A poly, [n, 2n) = B poly; slot 2n is padding
+    a_vals = ab[:, :n]
+    b_vals = ab[:, n : 2 * n]
+    if level2 is not None:
+        # second REDC stripped an extra R; restore standard form
+        a_vals = lb.to_mont(a_vals, FR_SPEC)
+        b_vals = lb.to_mont(b_vals, FR_SPEC)
+
+    # ---- C = A*B pointwise (carries R^-1; repaid in the h fixup)
+    c_vals = lb.mont_mul(a_vals, b_vals, FR_SPEC)
+
+    # ---- coset evaluation, batch=3, reorder-free bitrev pipeline
+    vec = jnp.stack([a_vals, b_vals, c_vals], axis=1)  # (16, 3, n)
+    coeffs_br = ntt_ops.intt_dif(vec, tw_inv, n_inv_mont)
+    shifted = lb.mont_mul(coeffs_br, keys_bitrev[:, None, :], FR_SPEC)
+    odd = ntt_ops.ntt_dit(shifted, tw_fwd)
+
+    # ---- h = (A*B - C) on the coset, then repay the R^-1
+    h_raw = lb.sub_mod(lb.mont_mul(odd[:, 0], odd[:, 1], FR_SPEC), odd[:, 2], FR_SPEC)
+    r2 = lb.const_limbs(_R2_FR, (1,))
+    return lb.mont_mul(h_raw, r2, FR_SPEC)
+
+
+def construct_r1cs(witness, cache: ZKeyCache):
+    """Device h-scalar computation (reference: construct_r1cs,
+    proof_helper.rs:31-170)."""
+    plan = cache.plan
+    dom = ntt_ops.get_domain(cache.header.power)
+    seg2, nseg2 = (plan.level2 if plan.level2 is not None else (None, 0))
+    return _construct_r1cs_jit(
+        witness, plan.coefs, plan.witness_idx, plan.segments, plan.num_segments,
+        seg2, nseg2, cache.keys_bitrev, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont,
+        cache.header.power,
+    )
+
+
+def groth16_commitments(witness, h_scalars, cache: ZKeyCache):
+    """The 5 MSMs (reference: groth16_commitments, proof_helper.rs:172-241).
+
+    Returns host projective points (standard-form ints):
+      pi_a  = <witness, A>          (G1)
+      pi_b1 = <witness, B1>         (G1)
+      pi_b  = <witness, B2>         (G2)
+      pi_c  = <witness[npub+1:], C> (G1)
+      pi_h  = <h, H>                (G1)
+    """
+    npub = cache.header.n_public
+    wit_c = witness[:, npub + 1 :]
+    # all four G1 MSMs share one compiled pipeline (batched groups)
+    pi_a, pi_b1, pi_c, pi_h = msm_ops.msm_g1_many([
+        (witness, cache.points_a),
+        (witness, cache.points_b1),
+        (wit_c, cache.points_c),
+        (h_scalars, cache.points_h),
+    ])
+    pi_b = msm_ops.msm_g2(witness, cache.points_b2)
+    return pi_a, pi_b1, pi_b, pi_c, pi_h
+
+
+def prove(wtns_path: str, cache: ZKeyCache, deterministic: bool = False, rng=None):
+    """Full prove from a witness file against a warm cache.
+
+    Returns (proof_dict, public_signals). The final randomization and
+    point arithmetic run on host exactly like the reference
+    (proof_helper.rs:274-295) — it is O(1) scalar work.
+    """
+    hdr = cache.header
+    wtns = WtnsFile(wtns_path)
+    if wtns.header.q != hdr.r:
+        raise ValueError("witness curve does not match proving key")
+    if wtns.header.n_witness != hdr.n_vars:
+        raise ValueError(
+            f"invalid witness length: circuit {hdr.n_vars}, witness {wtns.header.n_witness}"
+        )
+
+    wit_words = wtns.witness_limbs()  # (n_vars, 8) u32, standard form
+    witness = jnp.asarray(lb.u32x8_to_limbs(wit_words))  # (16, n_vars)
+
+    h_scalars = construct_r1cs(witness, cache)
+    pi_a, pi_b1, pi_b, pi_c, pi_h = groth16_commitments(witness, h_scalars, cache)
+
+    # ---- randomization + assembly (host; mirrors proof_helper.rs:274-295)
+    alpha1 = cv.g1_from_affine(hdr.vk_alpha_1)
+    beta1 = cv.g1_from_affine(hdr.vk_beta_1)
+    delta1 = cv.g1_from_affine(hdr.vk_delta_1)
+    beta2 = cv.g2_from_affine(hdr.vk_beta_2)
+    delta2 = cv.g2_from_affine(hdr.vk_delta_2)
+
+    if deterministic:
+        r = s = 1  # reference `no-randomness` feature (proof_helper.rs:287-295)
+    else:
+        import secrets
+
+        r = (rng or secrets).randbelow(R_MOD)
+        s = (rng or secrets).randbelow(R_MOD)
+
+    pi_a = cv.g1_add(pi_a, cv.g1_add(alpha1, cv.g1_mul(delta1, r)))
+    pi_b = cv.g2_add(pi_b, cv.g2_add(beta2, cv.g2_mul(delta2, s)))
+    pi_b1 = cv.g1_add(pi_b1, cv.g1_add(beta1, cv.g1_mul(delta1, s)))
+    pi_c = cv.g1_add(pi_c, pi_h)
+    pi_c = cv.g1_add(pi_c, cv.g1_mul(pi_a, s))
+    pi_c = cv.g1_add(pi_c, cv.g1_mul(pi_b1, r))
+    pi_c = cv.g1_add(pi_c, cv.g1_neg(cv.g1_mul(delta1, r * s % R_MOD)))
+
+    witness_ints = wtns.witness_ints()
+    public_signals = [str(witness_ints[i]) for i in range(1, hdr.n_public + 1)]
+    return serialize_proof(pi_a, pi_b, pi_c), public_signals

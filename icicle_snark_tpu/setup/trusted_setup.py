@@ -31,7 +31,7 @@ import struct
 
 from ..refmath import curve as cv
 from ..refmath import tower as tw
-from ..refmath.field import MONT_R_FQ, MONT_R_FR, Q, R_MOD, W, int_to_le
+from ..refmath.field import MONT_R_FQ, MONT_R_FR, Q, R_MOD, W, fq_from_mont, int_to_le
 from ..io.binfile import BinWriter
 from .r1cs import R1CS
 
@@ -143,93 +143,103 @@ class ToxicWaste:
         self.delta = derive("delta")
 
 
-def groth16_setup(r1cs: R1CS, zkey_path: str, vk_path: str | None = None,
-                  seed: bytes = b"icicle-snark-tpu-test-setup"):
-    """Generate a snarkjs-format zkey (+ verification_key.json) for an R1CS."""
-    waste = ToxicWaste(seed)
-    tau, alpha, beta, gamma, delta = waste.tau, waste.alpha, waste.beta, waste.gamma, waste.delta
+class SetupScalars:
+    """All scalar multiples of G1/G2 a Groth16 CRS needs; point
+    generation (host FixedBase or device fixed-base MSM) is a separate
+    backend choice."""
 
-    n_public = r1cs.n_public
-    n_vars = r1cs.n_vars
+    def __init__(self, r1cs: R1CS, waste: ToxicWaste):
+        tau, alpha, beta, gamma, delta = (
+            waste.tau, waste.alpha, waste.beta, waste.gamma, waste.delta,
+        )
+        self.waste = waste
+        n_public = r1cs.n_public
+        n_vars = r1cs.n_vars
+        n_constraints = r1cs.n_constraints
+        domain_size = 1
+        while domain_size < n_constraints + n_public + 1:
+            domain_size *= 2
+        power = domain_size.bit_length() - 1
+        if power + 1 >= len(W) or W[power + 1] == 0:
+            raise ValueError("domain too large for the BN254 two-adicity")
+        self.n_public, self.n_vars, self.domain_size = n_public, n_vars, domain_size
+
+        w_n = W[power]          # primitive n-th root of unity
+        g_coset = W[power + 1]  # coset shift g, g^2 = w_n ... g^n = -1
+
+        # ---- Lagrange basis at tau over the standard domain ----------
+        # l_row(tau) = Z(tau) * w^row / (n * (tau - w^row))
+        n = domain_size
+        z_tau = (pow(tau, n, R_MOD) - 1) % R_MOD
+        roots = [1] * n
+        for i in range(1, n):
+            roots[i] = roots[i - 1] * w_n % R_MOD
+        denoms = [(tau - roots[i]) % R_MOD for i in range(n)]
+        inv_denoms = _batch_inverse(denoms)
+        n_inv = pow(n, -1, R_MOD)
+        lag = [z_tau * roots[i] % R_MOD * n_inv % R_MOD * inv_denoms[i] % R_MOD for i in range(n)]
+
+        # ---- QAP evaluations u_s(tau), v_s(tau), w_s(tau) ------------
+        u = [0] * n_vars
+        v = [0] * n_vars
+        w_poly = [0] * n_vars
+        for row, (a_lc, b_lc, c_lc) in enumerate(r1cs.constraints):
+            lrow = lag[row]
+            for s, coef in a_lc.items():
+                u[s] = (u[s] + coef * lrow) % R_MOD
+            for s, coef in b_lc.items():
+                v[s] = (v[s] + coef * lrow) % R_MOD
+            for s, coef in c_lc.items():
+                w_poly[s] = (w_poly[s] + coef * lrow) % R_MOD
+        # public-input binding rows (snarkjs soundness fix)
+        for s in range(n_public + 1):
+            u[s] = (u[s] + lag[n_constraints + s]) % R_MOD
+        self.u, self.v = u, v
+
+        gamma_inv = pow(gamma, -1, R_MOD)
+        delta_inv = pow(delta, -1, R_MOD)
+
+        def kappa(s):
+            return (beta * u[s] + alpha * v[s] + w_poly[s]) % R_MOD
+
+        self.ic = [kappa(s) * gamma_inv % R_MOD for s in range(n_public + 1)]
+        self.c = [kappa(s) * delta_inv % R_MOD for s in range(n_public + 1, n_vars)]
+
+        # ---- H scalars on the coset-Lagrange basis -------------------
+        # scalar_i = R^2 * (-1/(2 delta)) * Z(tau) * lc_i(tau)
+        # lc_i(tau) = -Zc(tau)*g*w^i / (n*(tau - g*w^i)), Zc(tau) = tau^n + 1
+        zc_tau = (pow(tau, n, R_MOD) + 1) % R_MOD
+        coset_roots = [g_coset * roots[i] % R_MOD for i in range(n)]
+        coset_inv = _batch_inverse([(tau - cr) % R_MOD for cr in coset_roots])
+        r2 = MONT_R_FR * MONT_R_FR % R_MOD
+        pref = (
+            r2
+            * pow(2 * delta % R_MOD, -1, R_MOD) % R_MOD
+            * z_tau % R_MOD
+            * zc_tau % R_MOD
+            * n_inv % R_MOD
+        )
+        self.h = [
+            pref * coset_roots[i] % R_MOD * coset_inv[i] % R_MOD for i in range(n)
+        ]
+
+
+def write_zkey(scal: SetupScalars, r1cs: R1CS, zkey_path: str,
+               vk_path: str | None, g1_points: dict, g2_points: dict):
+    """Serialize a zkey (+ vk json) from precomputed point arrays.
+
+    g1_points: {'a','b1','c','h','ic','alpha','beta','delta'} — host
+    projective points OR raw 64-byte Montgomery affine encodings.
+    g2_points: {'b2','beta','gamma','delta'}."""
+    n_public, n_vars = scal.n_public, scal.n_vars
     n_constraints = r1cs.n_constraints
-    domain_size = 1
-    while domain_size < n_constraints + n_public + 1:
-        domain_size *= 2
-    power = domain_size.bit_length() - 1
-    if power + 1 >= len(W) or W[power + 1] == 0:
-        raise ValueError("domain too large for the BN254 two-adicity")
+    domain_size = scal.domain_size
 
-    w_n = W[power]          # primitive n-th root of unity
-    g_coset = W[power + 1]  # coset shift g, g^2 = w_n ... g^n = -1
+    def enc1(p):
+        return p if isinstance(p, (bytes, bytearray)) else _g1_bytes(p)
 
-    # ---- Lagrange basis at tau over the standard domain -------------
-    # l_row(tau) = Z(tau) * w^row / (n * (tau - w^row))
-    n = domain_size
-    z_tau = (pow(tau, n, R_MOD) - 1) % R_MOD
-    roots = [1] * n
-    for i in range(1, n):
-        roots[i] = roots[i - 1] * w_n % R_MOD
-    denoms = [(tau - roots[i]) % R_MOD for i in range(n)]
-    inv_denoms = _batch_inverse(denoms)
-    n_inv = pow(n, -1, R_MOD)
-    lag = [z_tau * roots[i] % R_MOD * n_inv % R_MOD * inv_denoms[i] % R_MOD for i in range(n)]
-
-    # ---- QAP evaluations u_s(tau), v_s(tau), w_s(tau) ----------------
-    u = [0] * n_vars
-    v = [0] * n_vars
-    w_poly = [0] * n_vars
-    for row, (a_lc, b_lc, c_lc) in enumerate(r1cs.constraints):
-        lrow = lag[row]
-        for s, coef in a_lc.items():
-            u[s] = (u[s] + coef * lrow) % R_MOD
-        for s, coef in b_lc.items():
-            v[s] = (v[s] + coef * lrow) % R_MOD
-        for s, coef in c_lc.items():
-            w_poly[s] = (w_poly[s] + coef * lrow) % R_MOD
-    # public-input binding rows (snarkjs soundness fix)
-    for s in range(n_public + 1):
-        u[s] = (u[s] + lag[n_constraints + s]) % R_MOD
-
-    fb1, fb2 = _fixed_bases()
-    gamma_inv = pow(gamma, -1, R_MOD)
-    delta_inv = pow(delta, -1, R_MOD)
-
-    points_a = [fb1.mul(u[s]) for s in range(n_vars)]
-    points_b1 = [fb1.mul(v[s]) for s in range(n_vars)]
-    points_b2 = [fb2.mul(v[s]) for s in range(n_vars)]
-
-    def kappa(s):
-        return (beta * u[s] + alpha * v[s] + w_poly[s]) % R_MOD
-
-    points_ic = [fb1.mul(kappa(s) * gamma_inv % R_MOD) for s in range(n_public + 1)]
-    points_c = [fb1.mul(kappa(s) * delta_inv % R_MOD) for s in range(n_public + 1, n_vars)]
-
-    # ---- H points on the coset-Lagrange basis ------------------------
-    # scalar_i = R^2 * (-1/(2 delta)) * Z(tau) * lc_i(tau)
-    # lc_i(tau) = -Zc(tau) * g * w^i / (n * (tau - g * w^i)), Zc(tau) = tau^n + 1
-    zc_tau = (pow(tau, n, R_MOD) + 1) % R_MOD
-    coset_roots = [g_coset * roots[i] % R_MOD for i in range(n)]
-    coset_inv = _batch_inverse([(tau - cr) % R_MOD for cr in coset_roots])
-    r2 = MONT_R_FR * MONT_R_FR % R_MOD
-    pref = (
-        r2
-        * pow(2 * delta % R_MOD, -1, R_MOD) % R_MOD
-        * z_tau % R_MOD
-        * zc_tau % R_MOD
-        * n_inv % R_MOD
-    )
-    points_h = [
-        fb1.mul(pref * coset_roots[i] % R_MOD * coset_inv[i] % R_MOD)
-        for i in range(n)
-    ]
-
-    # ---- vk / zkey header points -------------------------------------
-    alpha_g1 = fb1.mul(alpha)
-    beta_g1 = fb1.mul(beta)
-    beta_g2 = fb2.mul(beta)
-    gamma_g2 = fb2.mul(gamma)
-    delta_g1 = fb1.mul(delta)
-    delta_g2 = fb2.mul(delta)
+    def enc2(p):
+        return p if isinstance(p, (bytes, bytearray)) else _g2_bytes(p)
 
     # ---- write the zkey ----------------------------------------------
     zw = BinWriter("zkey", version=1)
@@ -241,13 +251,13 @@ def groth16_setup(r1cs: R1CS, zkey_path: str, vk_path: str | None = None,
     zw.write(struct.pack("<I", 32) + int_to_le(Q))
     zw.write(struct.pack("<I", 32) + int_to_le(R_MOD))
     zw.write(struct.pack("<III", n_vars, n_public, domain_size))
-    zw.write(_g1_bytes(alpha_g1) + _g1_bytes(beta_g1) + _g2_bytes(beta_g2))
-    zw.write(_g2_bytes(gamma_g2) + _g1_bytes(delta_g1) + _g2_bytes(delta_g2))
+    zw.write(enc1(g1_points["alpha"]) + enc1(g1_points["beta"]) + enc2(g2_points["beta"]))
+    zw.write(enc2(g2_points["gamma"]) + enc1(g1_points["delta"]) + enc2(g2_points["delta"]))
     zw.end_section()
 
     zw.begin_section(3)
-    for p in points_ic:
-        zw.write(_g1_bytes(p))
+    for p in g1_points["ic"]:
+        zw.write(enc1(p))
     zw.end_section()
 
     # coefficient records (A and B matrices + binding rows)
@@ -267,32 +277,79 @@ def groth16_setup(r1cs: R1CS, zkey_path: str, vk_path: str | None = None,
         zw.write(int_to_le(coef * MONT_R_FR % R_MOD))
     zw.end_section()
 
-    for sec_id, pts, ser in (
-        (5, points_a, _g1_bytes),
-        (6, points_b1, _g1_bytes),
-        (7, points_b2, _g2_bytes),
-        (8, points_c, _g1_bytes),
-        (9, points_h, _g1_bytes),
+    for sec_id, pts, enc in (
+        (5, g1_points["a"], enc1),
+        (6, g1_points["b1"], enc1),
+        (7, g2_points["b2"], enc2),
+        (8, g1_points["c"], enc1),
+        (9, g1_points["h"], enc1),
     ):
         zw.begin_section(sec_id)
-        for p in pts:
-            zw.write(ser(p))
+        if isinstance(pts, (bytes, bytearray)):
+            zw.write(pts)  # pre-concatenated device download
+        else:
+            for p in pts:
+                zw.write(enc(p))
         zw.end_section()
 
     zw.save(zkey_path)
 
     # ---- verification key json ---------------------------------------
+    def json1(p):
+        return _g1_json(p) if not isinstance(p, (bytes, bytearray)) else _g1_json_bytes(p)
+
+    def json2(p):
+        return _g2_json(p) if not isinstance(p, (bytes, bytearray)) else _g2_json_bytes(p)
+
     vk = {
         "protocol": "groth16",
         "curve": "bn128",
         "nPublic": n_public,
-        "vk_alpha_1": _g1_json(alpha_g1),
-        "vk_beta_2": _g2_json(beta_g2),
-        "vk_gamma_2": _g2_json(gamma_g2),
-        "vk_delta_2": _g2_json(delta_g2),
-        "IC": [_g1_json(p) for p in points_ic],
+        "vk_alpha_1": json1(g1_points["alpha"]),
+        "vk_beta_2": json2(g2_points["beta"]),
+        "vk_gamma_2": json2(g2_points["gamma"]),
+        "vk_delta_2": json2(g2_points["delta"]),
+        "IC": [json1(p) for p in g1_points["ic"]],
     }
     if vk_path:
         with open(vk_path, "w") as fh:
             json.dump(vk, fh, indent=1)
     return vk
+
+
+def _g1_json_bytes(b: bytes):
+    x = fq_from_mont(int.from_bytes(b[:32], "little"))
+    y = fq_from_mont(int.from_bytes(b[32:64], "little"))
+    return [str(x), str(y), "1"] if (x, y) != (0, 0) else ["0", "1", "0"]
+
+
+def _g2_json_bytes(b: bytes):
+    v = [fq_from_mont(int.from_bytes(b[32 * i : 32 * (i + 1)], "little")) for i in range(4)]
+    return [[str(v[0]), str(v[1])], [str(v[2]), str(v[3])], ["1", "0"]]
+
+
+def groth16_setup(r1cs: R1CS, zkey_path: str, vk_path: str | None = None,
+                  seed: bytes = b"icicle-snark-tpu-test-setup"):
+    """Host-oracle trusted setup (FixedBase Python points). For large
+    circuits use setup.fast_setup.groth16_setup_device instead."""
+    waste = ToxicWaste(seed)
+    scal = SetupScalars(r1cs, waste)
+    fb1, fb2 = _fixed_bases()
+
+    g1_points = {
+        "a": [fb1.mul(k) for k in scal.u],
+        "b1": [fb1.mul(k) for k in scal.v],
+        "c": [fb1.mul(k) for k in scal.c],
+        "h": [fb1.mul(k) for k in scal.h],
+        "ic": [fb1.mul(k) for k in scal.ic],
+        "alpha": fb1.mul(waste.alpha),
+        "beta": fb1.mul(waste.beta),
+        "delta": fb1.mul(waste.delta),
+    }
+    g2_points = {
+        "b2": [fb2.mul(k) for k in scal.v],
+        "beta": fb2.mul(waste.beta),
+        "gamma": fb2.mul(waste.gamma),
+        "delta": fb2.mul(waste.delta),
+    }
+    return write_zkey(scal, r1cs, zkey_path, vk_path, g1_points, g2_points)

@@ -11,11 +11,23 @@ import sys
 # Force CPU: the ambient environment presets JAX_PLATFORMS=axon (a remote
 # TPU tunnel), which would route every test op over the network.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_NUM_CPU_DEVICES", "8")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+# The limb-arithmetic graphs are huge; dial LLVM back for test compiles
+# (execution here is tiny-shape correctness work, not perf).
+xla_flags += " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
+os.environ["XLA_FLAGS"] = xla_flags
+
+# The image's sitecustomize force-selects the remote-TPU (axon) platform
+# via jax.config, which wins over JAX_PLATFORMS; override it back.
+# ISTPU_TEST_PLATFORM=tpu keeps the real chip (single-device tests only).
+import jax  # noqa: E402
+
+if os.environ.get("ISTPU_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

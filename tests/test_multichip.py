@@ -1,0 +1,48 @@
+"""Multi-chip parity: the sharded prove must equal the single-chip
+proof bit-for-bit on the virtual 8-device CPU mesh (SURVEY.md section 4:
+'same proof bit-exact at 1 chip / 1 host / N hosts')."""
+
+import jax
+import pytest
+
+from icicle_snark_tpu.io.wtns import write_wtns
+from icicle_snark_tpu.parallel.mesh import make_mesh
+from icicle_snark_tpu.parallel.prove_step import prove_multichip
+from icicle_snark_tpu.prover import pipeline
+from icicle_snark_tpu.prover.cache import CacheManager
+from icicle_snark_tpu.setup.r1cs import complex_circuit, complex_circuit_witness
+from icicle_snark_tpu.setup.trusted_setup import groth16_setup
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mc_fixtures")
+    r1cs = complex_circuit(20, 26)  # domain 32
+    zkey_path = str(tmp / "c.zkey")
+    vk = groth16_setup(r1cs, zkey_path)
+    wtns_path = str(tmp / "c.wtns")
+    witness = complex_circuit_witness(r1cs, a=9)
+    write_wtns(wtns_path, witness)
+    return zkey_path, wtns_path, vk
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_prove_matches_single_chip(fixture, n_dev):
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough virtual devices")
+    zkey_path, wtns_path, vk = fixture
+    cm = CacheManager()
+    cache = cm.get(zkey_path)
+
+    proof_1, public_1 = pipeline.prove(wtns_path, cache, deterministic=True)
+
+    mesh = make_mesh(jax.devices()[:n_dev])
+    proof_n, public_n = prove_multichip(mesh, wtns_path, cache, deterministic=True, c=8, k=8)
+    assert public_n == public_1
+    assert proof_n == proof_1
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(min(8, len(jax.devices())))
