@@ -44,8 +44,8 @@ def log(msg: str):
 def ensure_fixture(n_constraints: int) -> tuple:
     """Generate (once) and return paths for the complex-N fixture."""
     from icicle_snark_tpu.io.wtns import write_wtns
+    from icicle_snark_tpu.setup.fast_setup import groth16_setup_device
     from icicle_snark_tpu.setup.r1cs import complex_circuit, complex_circuit_witness
-    from icicle_snark_tpu.setup.trusted_setup import groth16_setup
 
     d = os.path.join(FIXTURE_DIR, f"complex_{n_constraints}")
     zkey = os.path.join(d, "circuit_final.zkey")
@@ -53,10 +53,10 @@ def ensure_fixture(n_constraints: int) -> tuple:
     wtns = os.path.join(d, "witness.wtns")
     if not (os.path.exists(zkey) and os.path.exists(wtns) and os.path.exists(vk)):
         os.makedirs(d, exist_ok=True)
-        log(f"generating fixture complex_{n_constraints} (one-time)...")
+        log(f"generating fixture complex_{n_constraints} (one-time, device-backed)...")
         t0 = time.time()
         r1cs = complex_circuit(n_constraints, n_constraints)
-        groth16_setup(r1cs, zkey, vk)
+        groth16_setup_device(r1cs, zkey, vk)
         write_wtns(wtns, complex_circuit_witness(r1cs, a=3))
         log(f"fixture ready in {time.time() - t0:.1f}s")
     return zkey, vk, wtns
