@@ -279,6 +279,14 @@ def pneg(ops, p):
     return (p[0], ops.neg(p[1]), p[2])
 
 
+def pselect_field(ops, mask, a, b):
+    """Elementwise FIELD-element select: mask (...batch) over coord dims."""
+    m = mask
+    for _ in range(len(ops.coord_shape)):
+        m = m[None]
+    return jnp.where(m, a, b)
+
+
 def pselect(ops, mask, p, q):
     """Elementwise point select: mask True -> p, False -> q."""
     m = mask

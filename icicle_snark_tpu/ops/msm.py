@@ -51,11 +51,14 @@ SCALAR_BITS = 256
 
 def choose_c(n: int) -> int:
     """Window size heuristic (the analog of the reference's decision
-    trees / get_optimal_c): minimize 254/c*(n + 5*2^c)."""
+    trees / get_optimal_c): minimize windows * (n + beta * 2^(c-1))
+    for signed buckets. beta ~ 100 calibrated on v5e (the bucket phase
+    runs on G*2^(c-1) lanes through searchsorted + boundary queries,
+    which are far less lane-efficient than the window chunk-scan)."""
     best_c, best_cost = 8, None
     for c in range(8, 17):
         windows = -(-SCALAR_BITS // c)
-        cost = windows * (n + 5 * (1 << c))
+        cost = windows * (n + 100 * (1 << (c - 1)))
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -74,6 +77,30 @@ def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
             d = d | (scalars[limb + 1] << np.uint32(16 - off))
         digits.append(d & mask)
     return jnp.stack(digits, axis=0)
+
+
+def window_digits_signed(scalars: jnp.ndarray, c: int):
+    """Balanced (signed) window digits: values in [-(2^(c-1)), 2^(c-1)].
+
+    Returns (abs_digits (W, n) uint32 in [0, 2^(c-1)], neg (W, n) bool).
+    Halves the bucket space vs unsigned windows (the reference's CUDA
+    MSM uses the same signed-bucket trick, cuda_msm.cuh
+    split_scalars_kernel). BN254 scalars are < 2^254, so for c >= 8 the
+    top window's digit stays below 2^(c-1) and the carry never
+    overflows out.
+    """
+    raw = window_digits(scalars, c)
+    half = np.uint32(1 << (c - 1))
+    full = np.uint32(1 << c)
+    outs_abs, outs_neg = [], []
+    carry = jnp.zeros_like(raw[0])
+    for w in range(raw.shape[0]):
+        d = raw[w] + carry
+        neg = d > half
+        carry = neg.astype(jnp.uint32)
+        outs_abs.append(jnp.where(neg, full - d, d))
+        outs_neg.append(neg)
+    return jnp.stack(outs_abs), jnp.stack(outs_neg)
 
 
 # ------------------------------------------------------------------ scans
@@ -237,19 +264,27 @@ def _tree_reduce(points, ops):
 
 # ------------------------------------------------------------------ batched core
 
-def _window_sum_grouped(points, keys_w, ops, c: int, n_groups: int, k: int):
+def _window_sum_grouped(points, keys_w, neg_w, ops, c: int, n_groups: int,
+                        k: int, signed: bool):
     """Bucket-accumulate and reduce ONE window for all groups at once.
 
     points: group-concatenated (+pad) point arrays, (coords..., total).
-    keys_w: (total,) int32 sort keys  group_id*B + digit  (pad lanes
+    keys_w: (total,) int32 sort keys  group_id*B + |digit|  (pad lanes
             carry the sentinel key n_groups*B, sorting to the end).
+    neg_w:  (total,) bool digit signs (signed mode) or None.
     Returns per-group window values, (coords..., n_groups).
     """
-    n_buckets = 1 << c
+    n_buckets = (1 << (c - 1)) + 1 if signed else 1 << c
 
     order = jnp.argsort(keys_w)
     k_sorted = keys_w[order]
     pts = tuple(_gather_last(a, order) for a in points)
+    if signed:
+        neg = neg_w[order]
+        # negate gathered y where the digit is negative
+        x, y = pts
+        y = jc.pselect_field(ops, neg, ops.neg(y), y)
+        pts = (x, y)
 
     tree = PrefixTree(pts, ops, k=k)
 
@@ -264,13 +299,20 @@ def _window_sum_grouped(points, keys_w, ops, c: int, n_groups: int, k: int):
     buckets = jc.padd(ops, p_end, jc.pneg(ops, p_start))  # (coords..., G*B)
 
     # (coords..., G, B): window value per group = sum_{b>=1} b*bucket_b
-    # = sum of suffix sums S_1..S_{B-1}
+    # = the sum of all suffix sums taken after dropping bucket 0
     buckets = tuple(a.reshape(a.shape[:-1] + (n_groups, n_buckets)) for a in buckets)
-    suffix = _suffix_scan(buckets, ops)  # S_j at position j
-    return _roll_reduce(tuple(a[..., 1:] for a in suffix), ops)  # (coords..., G)
+    dropped = tuple(a[..., 1:] for a in buckets)  # width B-1
+    if signed:
+        # B-1 = 2^(c-1): already a power of two
+        suffix = _suffix_scan(dropped, ops)
+        return _roll_reduce(suffix, ops)
+    # unsigned: scan the full power-of-two width, then drop S_0
+    suffix = _suffix_scan(buckets, ops)
+    return _roll_reduce(tuple(a[..., 1:] for a in suffix), ops)
 
 
-def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 128):
+def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 128,
+                       signed: bool = True):
     """All window sums for a LIST of (scalars, points) groups sharing
     one compiled pipeline. scalars: (16, n_g) raw integer limbs; points:
     affine coordinate tuples (coords..., n_g).
@@ -278,12 +320,22 @@ def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 128):
     Returns window sums, a tuple of 3 arrays (coords..., G, n_windows).
     """
     n_groups = len(scalar_groups)
-    n_buckets = 1 << c
+    n_buckets = (1 << (c - 1)) + 1 if signed else 1 << c
     sizes = [s.shape[-1] for s in scalar_groups]
     total = sum(sizes)
     pad = (-total) % k
 
-    digs = [window_digits(s, c) for s in scalar_groups]  # (W, n_g) each
+    if signed:
+        dn = [window_digits_signed(s, c) for s in scalar_groups]
+        digs = [d for d, _ in dn]
+        negs = jnp.concatenate([n for _, n in dn], axis=-1)
+        if pad:
+            negs = jnp.concatenate(
+                [negs, jnp.zeros((negs.shape[0], pad), bool)], axis=-1
+            )
+    else:
+        digs = [window_digits(s, c) for s in scalar_groups]
+        negs = None
     keys = [
         d.astype(jnp.int32) + np.int32(g * n_buckets) for g, d in enumerate(digs)
     ]
@@ -306,11 +358,19 @@ def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 128):
         points.append(cat)
     points = tuple(points)
 
-    def body(_, keys_w):
-        ws = _window_sum_grouped(points, keys_w, ops, c, n_groups, k)
-        return None, jc.point_stack(ws)
+    if signed:
+        def body(_, kw):
+            keys_w, neg_w = kw
+            ws = _window_sum_grouped(points, keys_w, neg_w, ops, c, n_groups, k, True)
+            return None, jc.point_stack(ws)
 
-    _, stacked = jax.lax.scan(body, None, keys)
+        _, stacked = jax.lax.scan(body, None, (keys, negs))
+    else:
+        def body(_, keys_w):
+            ws = _window_sum_grouped(points, keys_w, None, ops, c, n_groups, k, False)
+            return None, jc.point_stack(ws)
+
+        _, stacked = jax.lax.scan(body, None, keys)
     # stacked: (W, 3, coords..., G) -> tuple of 3 arrays (coords..., G, W)
     moved = jnp.moveaxis(stacked, 0, -1)
     return (moved[0], moved[1], moved[2])

@@ -41,15 +41,29 @@ def bitrev_permutation(log_n: int) -> np.ndarray:
     return rev
 
 
-def powers_mont(base_int: int, log_n: int) -> jnp.ndarray:
-    """(16, 2^log_n) Montgomery-form powers base^0..base^(n-1), built on
-    device with log_n doubling steps: P_{2m} = [P_m, P_m * base^m]."""
-    p = lb.const_limbs(fr_to_mont(1), (1,))
-    cur = lb.const_limbs(fr_to_mont(base_int), (1,))
-    for _ in range(log_n):
-        p = jnp.concatenate([p, lb.mont_mul(p, cur, FR_SPEC)], axis=1)
+@partial(jax.jit, static_argnums=(1,))
+def _powers_mont_jit(base_mont: jnp.ndarray, log_n: int) -> jnp.ndarray:
+    """(16, 1) Montgomery base -> (16, 2^log_n) powers base^0..base^(n-1).
+
+    Binary powering on FIXED (16, n) shapes: log_n full-width muls in
+    one jit (one compile per size, persisted), instead of the eager
+    log-doubling whose every step had a new shape and therefore its
+    own compile — that made cold zkey-cache builds minutes-slow."""
+    n = 1 << log_n
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    acc = lb.const_limbs(fr_to_mont(1), (n,))
+    cur = base_mont
+    for b in range(log_n):
+        hit = ((idx >> np.uint32(b)) & 1) == 1
+        acc = lb.select(hit, lb.mont_mul(acc, cur, FR_SPEC), acc)
         cur = lb.mont_mul(cur, cur, FR_SPEC)
-    return p
+    return acc
+
+
+def powers_mont(base_int: int, log_n: int) -> jnp.ndarray:
+    """(16, 2^log_n) Montgomery-form powers base^0..base^(n-1) (device)."""
+    base = lb.const_limbs(fr_to_mont(base_int), (1,))
+    return _powers_mont_jit(base, log_n)
 
 
 class NTTDomain:

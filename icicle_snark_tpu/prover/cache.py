@@ -31,6 +31,7 @@ import numpy as np
 
 from ..fields import limbs as lb
 from ..fields.limbs import NLIMB
+from ..io import native
 from ..io.zkey import ZKeyFile, ZKeyHeader
 from ..ops.ntt import bitrev_permutation, get_domain, powers_mont, release_domain
 from ..refmath.field import W
@@ -84,21 +85,27 @@ def _g2_device(words: np.ndarray) -> tuple:
 
 
 def build_r1cs_plan(m_arr, c_arr, s_arr, coef_words, domain_size: int) -> R1CSPlan:
-    """Sort the coefficient table by output slot and pad (host, once)."""
-    n = domain_size
-    out_slot = m_arr.astype(np.int64) * n + c_arr.astype(np.int64)
+    """Sort the coefficient table by output slot and pad (numpy path)."""
+    out_slot = m_arr.astype(np.int64) * domain_size + c_arr.astype(np.int64)
     order = np.argsort(out_slot, kind="stable")
-    slot_sorted = out_slot[order]
-    s_sorted = s_arr[order].astype(np.int32)
-    coef_sorted = coef_words[order]
+    return build_r1cs_plan_sorted(
+        out_slot[order], s_arr[order], coef_words[order], domain_size
+    )
 
-    n_coef = len(order)
+
+def build_r1cs_plan_sorted(slot_sorted, s_sorted, coef_sorted,
+                           domain_size: int) -> R1CSPlan:
+    """Plan assembly from pre-sorted columns (shared by the numpy and
+    native ingest paths)."""
+    n = domain_size
+    s_sorted = s_sorted.astype(np.int32)
+    n_coef = len(slot_sorted)
     pad = (-n_coef) % 256
     if pad:
         slot_sorted = np.concatenate([slot_sorted, np.full(pad, 2 * n, dtype=np.int64)])
         s_sorted = np.concatenate([s_sorted, np.zeros(pad, dtype=np.int32)])
         coef_sorted = np.concatenate(
-            [coef_sorted, np.zeros((pad, coef_words.shape[1]), dtype=np.uint32)]
+            [coef_sorted, np.zeros((pad, coef_sorted.shape[1]), dtype=np.uint32)]
         )
 
     seg_len = np.bincount(slot_sorted.astype(np.int64), minlength=2 * n + 1)
@@ -135,8 +142,13 @@ def load_zkey_cache(zkey_path: str) -> ZKeyCache:
     hdr = zk.header
     n = hdr.domain_size
 
-    m_arr, c_arr, s_arr, coef_words = zk.coefficients()
-    plan = build_r1cs_plan(m_arr, c_arr, s_arr, coef_words, n)
+    decoded = native.decode_plan(zkey_path, hdr.n8r, n)
+    if decoded is not None:
+        s_sorted, slot_sorted, coef_sorted = decoded
+        plan = build_r1cs_plan_sorted(slot_sorted, s_sorted, coef_sorted, n)
+    else:  # pure-numpy fallback
+        m_arr, c_arr, s_arr, coef_words = zk.coefficients()
+        plan = build_r1cs_plan(m_arr, c_arr, s_arr, coef_words, n)
 
     inc = W[hdr.power + 1]  # coset generator g with g^n = -1 (cache.rs:168)
     keys = powers_mont(inc, hdr.power)  # (16, n) Montgomery, device-generated
