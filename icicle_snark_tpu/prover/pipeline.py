@@ -45,6 +45,8 @@ from ..refmath.groth16 import serialize_proof
 from ..io.wtns import WtnsFile
 from .cache import R1CSPlan, ZKeyCache
 
+import time
+
 _R2_FR = MONT_R_FR * MONT_R_FR % R_MOD
 
 
@@ -144,13 +146,32 @@ def groth16_commitments(witness, h_scalars, cache: ZKeyCache):
     return pi_a, pi_b1, pi_b, pi_c, pi_h
 
 
-def prove(wtns_path: str, cache: ZKeyCache, deterministic: bool = False, rng=None):
+class PhaseTimer:
+    """Per-phase wall timings for a prove (the aux-subsystem analog of
+    the reference's MEASURE_MSM_TIMES hook, cpu_msm.hpp:31-33). Timings
+    include XLA async boundaries only where a download forces sync, so
+    treat them as coarse attribution, not kernel truth — use
+    jax.profiler traces for that."""
+
+    def __init__(self):
+        self.phases = {}
+        self._t = time.perf_counter()
+
+    def mark(self, name: str):
+        now = time.perf_counter()
+        self.phases[name] = self.phases.get(name, 0.0) + (now - self._t)
+        self._t = now
+
+
+def prove(wtns_path: str, cache: ZKeyCache, deterministic: bool = False, rng=None,
+          timer: PhaseTimer | None = None):
     """Full prove from a witness file against a warm cache.
 
     Returns (proof_dict, public_signals). The final randomization and
     point arithmetic run on host exactly like the reference
     (proof_helper.rs:274-295) — it is O(1) scalar work.
     """
+    timer = timer or PhaseTimer()
     hdr = cache.header
     wtns = WtnsFile(wtns_path)
     if wtns.header.q != hdr.r:
@@ -162,9 +183,12 @@ def prove(wtns_path: str, cache: ZKeyCache, deterministic: bool = False, rng=Non
 
     wit_words = wtns.witness_limbs()  # (n_vars, 8) u32, standard form
     witness = jnp.asarray(lb.u32x8_to_limbs(wit_words))  # (16, n_vars)
+    timer.mark("witness_ingest")
 
     h_scalars = construct_r1cs(witness, cache)
+    timer.mark("r1cs_ntt_dispatch")
     pi_a, pi_b1, pi_b, pi_c, pi_h = groth16_commitments(witness, h_scalars, cache)
+    timer.mark("msm")
 
     # ---- randomization + assembly (host; mirrors proof_helper.rs:274-295)
     alpha1 = cv.g1_from_affine(hdr.vk_alpha_1)
@@ -189,6 +213,8 @@ def prove(wtns_path: str, cache: ZKeyCache, deterministic: bool = False, rng=Non
     pi_c = cv.g1_add(pi_c, cv.g1_mul(pi_b1, r))
     pi_c = cv.g1_add(pi_c, cv.g1_neg(cv.g1_mul(delta1, r * s % R_MOD)))
 
+    timer.mark("randomize_assemble")
     witness_ints = wtns.witness_ints()
     public_signals = [str(witness_ints[i]) for i in range(1, hdr.n_public + 1)]
+    timer.mark("serialize")
     return serialize_proof(pi_a, pi_b, pi_c), public_signals
