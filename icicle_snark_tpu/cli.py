@@ -75,6 +75,16 @@ def run_worker(stdin=None, stdout=None):
                 )
                 out(f"proof took: {elapsed:.3f}s")  # reference prints the same (lib.rs:244)
                 out(SENTINEL)
+            elif cmd == "export-vk":
+                import json
+
+                from .io.zkey import ZKeyFile
+
+                f = _parse_flags(rest)
+                vk = ZKeyFile(f["zkey"]).export_verification_key()
+                with open(f["vk"], "w") as fh:
+                    json.dump(vk, fh, indent=1)
+                out(SENTINEL)
             elif cmd == "verify":
                 f = _parse_flags(rest)
                 ok = groth16_verify(f["proof"], f["public"], f["vk"])

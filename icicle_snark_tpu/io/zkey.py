@@ -128,6 +128,35 @@ class ZKeyFile:
         raw = self.bin.section_u32(section_id)
         return raw.reshape(-1, 2 * coord_words)
 
+    def export_verification_key(self) -> dict:
+        """snarkjs-format verification key from the zkey (the role of
+        `snarkjs zkey export verificationkey`): header vk points +
+        section-3 IC points, decimal-string encoded."""
+        raw = self.bin.section(3).tobytes()
+        n_ic = len(raw) // 64
+        ic = []
+        for i in range(n_ic):
+            (x, y), _ = _read_g1(raw, i * 64)
+            ic.append([str(x), str(y), "1"] if (x, y) != (0, 0) else ["0", "1", "0"])
+        h = self.header
+
+        def g1j(p):
+            return [str(p[0]), str(p[1]), "1"]
+
+        def g2j(p):
+            return [[str(p[0][0]), str(p[0][1])], [str(p[1][0]), str(p[1][1])], ["1", "0"]]
+
+        return {
+            "protocol": "groth16",
+            "curve": "bn128",
+            "nPublic": h.n_public,
+            "vk_alpha_1": g1j(h.vk_alpha_1),
+            "vk_beta_2": g2j(h.vk_beta_2),
+            "vk_gamma_2": g2j(h.vk_gamma_2),
+            "vk_delta_2": g2j(h.vk_delta_2),
+            "IC": ic,
+        }
+
     def points_a(self):
         return self.points_u32(5, 8)
 

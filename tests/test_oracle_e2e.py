@@ -91,3 +91,10 @@ def test_multiplier_circuit(tmp_path):
     proof, public = oracle.prove(zkey_path, wtns_path, deterministic=True)
     assert public == ["42"]
     assert oracle.verify(proof, public, vk)
+
+
+def test_export_verification_key(small_circuit):
+    """zkey -> vk export must equal the vk the setup wrote."""
+    _r1cs, zkey_path, vk_path, _w, vk, _wit = small_circuit
+    exported = ZKeyFile(zkey_path).export_verification_key()
+    assert exported == vk
