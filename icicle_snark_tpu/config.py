@@ -36,7 +36,7 @@ class MSMConfig:
     chunk length (sequential steps per level)."""
 
     c: int = 0
-    chunk: int = 8
+    chunk: int = 32
     signed: bool = True
     batch_size: int = 1
     are_points_shared_in_batch: bool = True

@@ -153,7 +153,7 @@ class PrefixTree:
     prefix P_i for arbitrary (possibly -1 = 'empty') indices.
     """
 
-    def __init__(self, points, ops, k: int = 128, affine: bool = True):
+    def __init__(self, points, ops, k: int = 32, affine: bool = True):
         self.ops = ops
         self.ks = []
         self.levels = []
@@ -311,7 +311,7 @@ def _window_sum_grouped(points, keys_w, neg_w, ops, c: int, n_groups: int,
     return _roll_reduce(tuple(a[..., 1:] for a in suffix), ops)
 
 
-def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 128,
+def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
                        signed: bool = True):
     """All window sums for a LIST of (scalars, points) groups sharing
     one compiled pipeline. scalars: (16, n_g) raw integer limbs; points:
@@ -433,11 +433,58 @@ def _msm_g2_jit(scalar_groups, point_groups, c, k):
     return msm_device_grouped(list(scalar_groups), list(point_groups), jc.Fq2Ops, c, k)
 
 
-def msm_g1_many(groups, c: int | None = None, k: int = 128) -> list:
+# out-of-core threshold: beyond this many concatenated lanes the MSM
+# runs in fixed-size slices with window sums accumulated across slices
+# (the role of the reference's multi-chunk memory planner,
+# cuda_msm.cuh:1131-1395) — keeps gathered copies + prefix levels
+# within HBM. G2 coords are 2x the data -> half the slice.
+import os as _os
+
+MSM_MAX_LANES = int(_os.environ.get("ISTPU_MSM_MAX_LANES", str(1 << 21)))
+
+
+@partial(jax.jit, static_argnums=0)
+def _acc_windows(is_g2, acc, new):
+    ops = jc.Fq2Ops if is_g2 else jc.FqOps
+    return jc.padd(ops, acc, new)
+
+
+def _pad_lanes(arr, size):
+    pad = size - arr.shape[-1]
+    if pad == 0:
+        return arr
+    return jnp.concatenate(
+        [arr, jnp.zeros(arr.shape[:-1] + (pad,), arr.dtype)], axis=-1
+    )
+
+
+def _msm_windows_chunked(scalars, points, c, k, g2: bool, max_lanes: int):
+    """Window sums of one big MSM via fixed-shape slices; every slice
+    pads to max_lanes (zero scalars / infinity points are exact no-ops)
+    so all slices share ONE compiled pipeline."""
+    jit_fn = _msm_g2_jit if g2 else _msm_g1_jit
+    n = scalars.shape[-1]
+    acc = None
+    for s in range(0, n, max_lanes):
+        e = min(n, s + max_lanes)
+        sl_sc = _pad_lanes(scalars[..., s:e], max_lanes)
+        sl_pts = tuple(_pad_lanes(a[..., s:e], max_lanes) for a in points)
+        ws = jit_fn((sl_sc,), (sl_pts,), c, k)  # (coords..., 1, W)
+        acc = ws if acc is None else _acc_windows(g2, acc, ws)
+    return acc  # (coords..., 1, W)
+
+
+def msm_g1_many(groups, c: int | None = None, k: int = 32) -> list:
     """Batched G1 MSMs: groups = [(scalars (16,n_i), (x, y)), ...].
     Returns a list of host projective points (ints, standard form)."""
-    n = max(s.shape[-1] for s, _ in groups)
-    c = c or choose_c(n)
+    total = sum(s.shape[-1] for s, _ in groups)
+    c = c or choose_c(max(s.shape[-1] for s, _ in groups))
+    if total > MSM_MAX_LANES:
+        out = []
+        for scalars, points in groups:
+            ws = _msm_windows_chunked(scalars, points, c, k, False, MSM_MAX_LANES)
+            out.append(horner_combine(window_points_to_host_g1(ws, 0), c))
+        return out
     wsums = _msm_g1_jit(
         tuple(s for s, _ in groups), tuple(p for _, p in groups), c, k
     )
@@ -447,16 +494,21 @@ def msm_g1_many(groups, c: int | None = None, k: int = 128) -> list:
     ]
 
 
-def msm_g1(scalars, points_affine, c: int | None = None, k: int = 128):
+def msm_g1(scalars, points_affine, c: int | None = None, k: int = 32):
     """Single G1 MSM. scalars (16,n) uint32 limbs (integer semantics),
     points (x, y) tuple of (16, n) Montgomery-form coordinate limbs.
     Returns a host projective point (ints, standard form)."""
     return msm_g1_many([(scalars, points_affine)], c=c, k=k)[0]
 
 
-def msm_g2(scalars, points_affine, c: int | None = None, k: int = 128):
+def msm_g2(scalars, points_affine, c: int | None = None, k: int = 32):
     n = scalars.shape[-1]
     c = c or choose_c(n)
+    if n > MSM_MAX_LANES // 2:
+        ws = _msm_windows_chunked(
+            scalars, points_affine, c, k, True, MSM_MAX_LANES // 2
+        )
+        return horner_combine(window_points_to_host_g2(ws, 0), c, g2=True)
     wsums = _msm_g2_jit((scalars,), (points_affine,), c, k)
     return horner_combine(window_points_to_host_g2(wsums, 0), c, g2=True)
 

@@ -53,7 +53,7 @@ def _local_slice(arr, axis: int):
     return jax.lax.dynamic_slice_in_dim(arr, idx * size, size, axis=axis)
 
 
-def build_sharded_prove_step(mesh, log_n: int, num_segments: int, c: int, k: int = 128):
+def build_sharded_prove_step(mesh, log_n: int, num_segments: int, c: int, k: int = 32):
     """Returns a jitted function over sharded inputs computing
     (h_scalars, 5x window-sum tuples). Host Horner + randomization
     happen outside (O(1) work)."""
@@ -170,7 +170,7 @@ def pad_cache_for_mesh(cache, n_devices: int):
 
 
 def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
-                    rng=None, c: int | None = None, k: int = 128):
+                    rng=None, c: int | None = None, k: int = 32):
     """Full multi-chip prove: sharded device phase + host assembly.
 
     Bit-exact with the single-chip pipeline at any device count (the
@@ -227,7 +227,7 @@ def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
     return serialize_proof(pi_a, pi_b, pi_c), public_signals
 
 
-def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 128):
+def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32):
     """Full multi-chip device phase; returns (h_scalars, window sums x5).
 
     `witness`: (16, n_vars) standard-form limbs (unpadded).

@@ -85,3 +85,22 @@ def test_randomized_proof_verifies(fixture):
     cache = cm.get(zkey_path)
     proof, public = pipeline.prove(wtns_path, cache, deterministic=False)
     assert oracle.verify(proof, public, vk)
+
+
+def test_chunked_msm_matches_direct(fixture):
+    """Out-of-core sliced MSM == single-shot MSM (same window sums)."""
+    from icicle_snark_tpu.ops import msm as msm_ops
+    from icicle_snark_tpu.prover.cache import CacheManager
+
+    _tmp, zkey_path, _vk, wtns_path, _vkd, _wit = fixture
+    cache = CacheManager().get(zkey_path)
+    from icicle_snark_tpu.io.wtns import WtnsFile
+
+    wit = jnp.asarray(lb.u32x8_to_limbs(WtnsFile(wtns_path).witness_limbs()))
+    c = 8
+    direct = msm_ops.msm_g1(wit, cache.points_a, c=c, k=8)
+    ws = msm_ops._msm_windows_chunked(wit, cache.points_a, c, 8, False, 16)
+    sliced = msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws, 0), c)
+    from icicle_snark_tpu.refmath import curve as cv
+
+    assert cv.g1_to_affine(direct) == cv.g1_to_affine(sliced)
