@@ -192,8 +192,45 @@ def eq(a, b):
     return acc == 0
 
 
+# Wide-mul lane chunking: a single XLA fusion of the CIOS graph falls
+# off a cliff once its intermediates outgrow VMEM (measured on v5e:
+# 325 Mmul/s at 2^16 lanes, 227 at 2^18, 38 at 2^20 — see PROFILE.md).
+# Muls wider than ~2 * this target are split into lane chunks driven by
+# lax.map, keeping each fusion VMEM-resident. 0 disables.
+MUL_CHUNK_LANES = int(os.environ.get("ISTPU_MUL_CHUNK_LANES", str(1 << 16)))
+
+
+def _pick_chunks(total: int, target: int) -> int:
+    """Smallest chunk count >= total/target that divides total (1 if
+    no divisor exists within 4x of the ideal count)."""
+    nc0 = -(-total // target)
+    for nc in range(nc0, min(total, 4 * nc0) + 1):
+        if total % nc == 0:
+            return nc
+    return 1
+
+
 def mont_mul(a, b, spec: FieldSpec, unroll: int | None = None):
-    """Montgomery product a * b * R^-1 mod p (CIOS over 16-bit limbs).
+    """Montgomery product a * b * R^-1 mod p; wide calls are chunked
+    (see MUL_CHUNK_LANES) and each chunk runs the CIOS scan core."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    lanes = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
+    if MUL_CHUNK_LANES and lanes >= 2 * MUL_CHUNK_LANES:
+        nc = _pick_chunks(lanes, MUL_CHUNK_LANES)
+        if nc > 1:
+            lc = lanes // nc
+            af = jnp.broadcast_to(a, shape).reshape(NLIMB, nc, lc)
+            bf = jnp.broadcast_to(b, shape).reshape(NLIMB, nc, lc)
+            out = jax.lax.map(
+                lambda ab: _mont_mul_core(ab[0], ab[1], spec, unroll),
+                (jnp.moveaxis(af, 1, 0), jnp.moveaxis(bf, 1, 0)),
+            )
+            return jnp.moveaxis(out, 0, 1).reshape(shape)
+    return _mont_mul_core(a, b, spec, unroll)
+
+
+def _mont_mul_core(a, b, spec: FieldSpec, unroll: int | None = None):
+    """CIOS Montgomery product core (one lane chunk).
 
     a, b: (16, ...) canonical Montgomery-form limbs; trailing dims
     broadcast (e.g. twiddle (16,1,1,h) * data (16,B,k,h)).
