@@ -21,7 +21,7 @@ def test_warmup_and_sync():
 
 def test_config_defaults():
     m = cfg.MSMConfig()
-    assert m.signed and m.c == 0 and m.chunk == 8
+    assert m.signed and m.c == 0 and m.chunk == 32  # k=32: measured best (ROADMAP.md)
     n = cfg.NTTConfig()
     assert n.ordering is cfg.Ordering.NN and n.coset_gen is None
     v = cfg.VecOpsConfig()
