@@ -87,6 +87,18 @@ def limbs_to_u32x8(limbs) -> np.ndarray:
     return (a[0::2] | (a[1::2] << 16)).T
 
 
+@jax.jit
+def u32x8_to_limbs_device(words: jnp.ndarray) -> jnp.ndarray:
+    """Device-side version of u32x8_to_limbs: upload the raw (N, W)
+    32-bit words (HALF the bytes of the expanded limb array — matters
+    over slow host<->device links) and split into (2W, N) 16-bit limbs
+    on device."""
+    t = jnp.transpose(words)  # (W, N)
+    lo = t & np.uint32(0xFFFF)
+    hi = t >> np.uint32(16)
+    return jnp.stack([lo, hi], axis=1).reshape(2 * t.shape[0], t.shape[1])
+
+
 @dataclass(frozen=True)
 class FieldSpec:
     """Compile-time field parameters (the analog of params_gen.h)."""

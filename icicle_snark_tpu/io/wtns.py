@@ -37,10 +37,21 @@ class WtnsFile:
         raw = self.bin.section_u32(2)
         return raw.reshape(self.header.n_witness, self.header.n8 // 4)
 
-    def witness_ints(self) -> list:
-        raw = self.bin.section(2).tobytes()
+    def witness_ints(self, start: int = 0, count: int | None = None) -> list:
+        """Witness values [start, start+count) as Python ints.
+
+        Slice BEFORE converting: the prove pipeline only needs the
+        n_public+1 head for public signals, and converting a multi-
+        million-entry witness to ints costs seconds at 1.6M+ vars."""
         n8 = self.header.n8
-        return [int.from_bytes(raw[i * n8 : (i + 1) * n8], "little") for i in range(self.header.n_witness)]
+        if count is None:
+            count = self.header.n_witness - start
+        sec = self.bin.section(2)
+        raw = sec[start * n8 : (start + count) * n8].tobytes()
+        return [
+            int.from_bytes(raw[i * n8 : (i + 1) * n8], "little")
+            for i in range(count)
+        ]
 
 
 def write_wtns(path: str, witness: list, n8: int = 32):

@@ -49,16 +49,23 @@ from ..curve import jcurve as jc
 SCALAR_BITS = 256
 
 
-def choose_c(n: int) -> int:
+import os as _os
+
+MSM_BETA = float(_os.environ.get("ISTPU_MSM_BETA", "12"))
+
+
+def choose_c(n: int, groups: int = 1) -> int:
     """Window size heuristic (the analog of the reference's decision
-    trees / get_optimal_c): minimize windows * (n + beta * 2^(c-1))
-    for signed buckets. beta ~ 100 calibrated on v5e (the bucket phase
-    runs on G*2^(c-1) lanes through searchsorted + boundary queries,
-    which are far less lane-efficient than the window chunk-scan)."""
+    trees / get_optimal_c): minimize windows * (total + beta * G *
+    2^(c-1)) for signed buckets, where `n` is the TOTAL concatenated
+    lane count across the batched groups (the chunk scan runs over all
+    of them each window) and the bucket phase costs ~beta EC-add
+    lane-units per bucket (telescoped query + reduce; beta measured on
+    v5e, override via ISTPU_MSM_BETA)."""
     best_c, best_cost = 8, None
     for c in range(8, 17):
         windows = -(-SCALAR_BITS // c)
-        cost = windows * (n + 100 * (1 << (c - 1)))
+        cost = windows * (n + MSM_BETA * groups * (1 << (c - 1)))
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -236,25 +243,36 @@ def _roll_reduce(points, ops):
     return tuple(a[..., 0] for a in jc.point_unstack(out))
 
 
-def _suffix_scan(points, ops):
-    """Inclusive suffix sums along the last axis (Hillis-Steele over
-    log2 rounds in ONE fori_loop; masked so short suffixes stay exact)."""
+def _chunked_reduce(points, ops, k: int = 32):
+    """Work-optimal sum along the last axis -> (coords..., ...batch).
+
+    Chunked sequential scans (k padds over width/k lanes per level)
+    instead of Hillis-Steele: ~1.05*width total padd-lane-units vs
+    width*log2(width). Falls back to _roll_reduce for small widths
+    where sequential-step latency would dominate."""
     width = points[0].shape[-1]
-    assert width & (width - 1) == 0, "suffix scan expects power-of-two width"
-    log_w = width.bit_length() - 1
-    idx = jnp.arange(width)
-    stacked = jc.point_stack(points)
+    while width > 64:
+        kl = min(k, width)
+        pad = (-width) % kl
+        if pad:
+            ncoord = len(ops.coord_shape)
+            ident = jc.identity(ops, points[0].shape[ncoord:-1] + (pad,))
+            points = tuple(
+                jnp.concatenate([a, jnp.broadcast_to(b, a.shape[:-1] + (pad,))], axis=-1)
+                for a, b in zip(points, ident)
+            )
+            width += pad
+        _, totals = _chunked_inclusive_scan(points, ops, kl, mixed=False)
+        points = totals
+        width = width // kl
+    return _roll_reduce(points, ops)
 
-    def body(i, pts):
-        shift = jax.lax.shift_left(1, i)
-        rolled = jnp.roll(pts, -shift, axis=-1)
-        cur = jc.point_unstack(pts)
-        summed = jc.padd(ops, cur, jc.point_unstack(rolled))
-        keep = (idx + shift) < width
-        return jc.point_stack(jc.pselect(ops, keep, summed, cur))
 
-    out = jax.lax.fori_loop(0, log_w, body, stacked)
-    return jc.point_unstack(out)
+def _scalar_double_k(point, ops, times: int):
+    """2^times * point via `times` doublings (compile-time count)."""
+    for _ in range(times):
+        point = jc.pdbl(ops, point)
+    return point
 
 
 # kept for the cross-device combine in parallel/msm_shard.py
@@ -288,27 +306,29 @@ def _window_sum_grouped(points, keys_w, neg_w, ops, c: int, n_groups: int,
 
     tree = PrefixTree(pts, ops, k=k)
 
+    # Telescoped triangle sum (Abel summation against the prefix tree):
+    # with P_b := global inclusive prefix at the END of bucket (g, b),
+    #   window_g = sum_b b * (P_{g,b} - P_{g,b-1})
+    #           = (B-1) * P_{g,B-1}  -  sum_{b<B-1} P_{g,b}.
+    # One boundary query per bucket, one plain reduce — no start
+    # queries, no bucket differences, no O(B log B) suffix scans.
+    # Cross-group terms cancel exactly (the b=0 coefficient is zero).
     bucket_ids = jnp.arange(n_groups * n_buckets, dtype=jnp.int32)
     ends = jnp.searchsorted(k_sorted, bucket_ids, side="right").astype(jnp.int32)
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    p_end = tree.query(ends - 1)  # (coords..., G*B)
+    p_end = tuple(a.reshape(a.shape[:-1] + (n_groups, n_buckets)) for a in p_end)
 
-    # one batched query for both boundaries (halves compiled instances)
-    both = tree.query(jnp.concatenate([ends, starts]) - 1)
-    p_end = tuple(a[..., : n_groups * n_buckets] for a in both)
-    p_start = tuple(a[..., n_groups * n_buckets :] for a in both)
-    buckets = jc.padd(ops, p_end, jc.pneg(ops, p_start))  # (coords..., G*B)
+    last = tuple(a[..., n_buckets - 1] for a in p_end)  # (coords..., G)
+    rest = tuple(a[..., : n_buckets - 1] for a in p_end)
+    sum_rest = _chunked_reduce(rest, ops, k=k)
 
-    # (coords..., G, B): window value per group = sum_{b>=1} b*bucket_b
-    # = the sum of all suffix sums taken after dropping bucket 0
-    buckets = tuple(a.reshape(a.shape[:-1] + (n_groups, n_buckets)) for a in buckets)
-    dropped = tuple(a[..., 1:] for a in buckets)  # width B-1
+    # (B-1) * last: B-1 = 2^(c-1) signed (c-1 doublings), 2^c - 1
+    # unsigned (c doublings minus one add of `last`)
     if signed:
-        # B-1 = 2^(c-1): already a power of two
-        suffix = _suffix_scan(dropped, ops)
-        return _roll_reduce(suffix, ops)
-    # unsigned: scan the full power-of-two width, then drop S_0
-    suffix = _suffix_scan(buckets, ops)
-    return _roll_reduce(tuple(a[..., 1:] for a in suffix), ops)
+        scaled = _scalar_double_k(last, ops, c - 1)
+    else:
+        scaled = jc.padd(ops, _scalar_double_k(last, ops, c), jc.pneg(ops, last))
+    return jc.padd(ops, scaled, jc.pneg(ops, sum_rest))
 
 
 def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
@@ -478,7 +498,7 @@ def msm_g1_many(groups, c: int | None = None, k: int = 32) -> list:
     """Batched G1 MSMs: groups = [(scalars (16,n_i), (x, y)), ...].
     Returns a list of host projective points (ints, standard form)."""
     total = sum(s.shape[-1] for s, _ in groups)
-    c = c or choose_c(max(s.shape[-1] for s, _ in groups))
+    c = c or choose_c(total, groups=len(groups))
     if total > MSM_MAX_LANES:
         out = []
         for scalars, points in groups:

@@ -188,10 +188,11 @@ def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
         raise ValueError(
             f"invalid witness length: circuit {hdr.n_vars}, witness {wtns.header.n_witness}"
         )
-    witness = jnp.asarray(lb.u32x8_to_limbs(wtns.witness_limbs()))
+    witness = lb.u32x8_to_limbs_device(jnp.asarray(wtns.witness_limbs()))
 
     n_pts = witness.shape[-1] + ((-witness.shape[-1]) % mesh.devices.size)
-    c = c or msm_ops.choose_c(n_pts)
+    d = mesh.devices.size
+    c = c or msm_ops.choose_c(4 * n_pts // d, groups=4)
     _h, ws_g1, ws_b2 = run_sharded_prove(mesh, cache, witness, c=c, k=k)
 
     pi_a = msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws_g1, 0), c)
@@ -222,8 +223,7 @@ def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
     pi_c = cv.g1_add(pi_c, cv.g1_mul(pi_b1, r))
     pi_c = cv.g1_add(pi_c, cv.g1_neg(cv.g1_mul(delta1, r * s % R_MOD)))
 
-    witness_ints = wtns.witness_ints()
-    public_signals = [str(witness_ints[i]) for i in range(1, hdr.n_public + 1)]
+    public_signals = [str(v) for v in wtns.witness_ints(1, hdr.n_public)]
     return serialize_proof(pi_a, pi_b, pi_c), public_signals
 
 
@@ -239,7 +239,7 @@ def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32):
     wit_c = _pad_last(witness[:, hdr.n_public + 1 :], d)
 
     n_pts = pads["pa"][0].shape[-1]
-    c = c or msm_ops.choose_c(n_pts)
+    c = c or msm_ops.choose_c(4 * n_pts // d, groups=4)
     dom = ntt_ops.get_domain(hdr.power)
     step = build_sharded_prove_step(
         mesh, hdr.power, cache.plan.num_segments, c, k

@@ -18,11 +18,18 @@ over the tunnel, so every probe forces a `np.asarray` device->host
 readback, and a no-op dispatch baseline (the tunnel RTT) is measured
 and subtracted.
 
-Speed-of-light model (documented estimates, v5e single chip):
-  - VPU: ~4 SIMD ALUs x (8x128) lanes x ~1.5 GHz  ~= 6.1e12 int32 op/s
-    (derived from the public 197 bf16 TFLOP/s peak: 98.5e12 MAC/s over
-    four 128x128 MXUs gives the ~1.5 GHz clock; the VPU issues 8x128x4
-    lanes per cycle at that clock).
+Speed-of-light model (v5e single chip):
+  - VPU sustained: 0.30e12 32-bit lane-op/s, MEASURED on the chip via
+    dependency chains (tools/op_microbench.py, tools/pallas_microbench.py).
+    Identical for u32 add/mul, f32 mul/fma, through both XLA fusions
+    and hand-written Pallas kernels, and insensitive to ILP width —
+    i.e. this is the real sustained issue rate, not a fusion artifact.
+    (The theoretical 8x128x4-ALU x ~1.5 GHz ~= 6.1e12 figure is not
+    reachable for this op mix; utilization is reported against the
+    sustained rate so 100% means "as fast as any elementwise kernel
+    can go on this chip". The MXU is the only unit faster: measured
+    3.4 Tflop/s f32 even at k=40 matmuls — the motivation for the
+    RNS/matmul offload track in ROADMAP.md.)
   - HBM: 819 GB/s.
 A kernel's compute bound is est_ops / VPU_OPS; its memory bound is
 bytes_moved / HBM_BW; utilization is measured_time vs max(bounds).
@@ -37,9 +44,10 @@ import time
 
 import numpy as np
 
-# per-chip speed-of-light constants (v5e; overridden per-platform below)
-V5E_VPU_INT32_OPS = 6.1e12  # int32 lane-ops/s (estimate, see module doc)
-V5E_HBM_BW = 819e9          # bytes/s
+# per-chip speed-of-light constants (v5e; see module docstring — the
+# VPU number is the MEASURED sustained 32-bit elementwise rate)
+V5E_VPU_INT32_OPS = 0.30e12  # 32-bit lane-ops/s (measured sustained)
+V5E_HBM_BW = 819e9           # bytes/s
 
 # estimated VPU lane-ops per 16x16-bit CIOS Montgomery mul:
 # 16 rounds x (16 mul + 16 add for a_i*b, 1 mul for m, 16 mul + 16 add
@@ -224,7 +232,7 @@ def profile_msm(log_n: int, reps: int, baseline: float, c: int | None = None) ->
         groups_sc.append(np.asarray(lb.ints_to_limbs_np(vals)))
         x, y, _ = _testpoints.random_g1_batch(n, seed=100 + g)
         groups_pt.append((x, y))
-    c = c or msm_ops.choose_c(4 * n)  # cost model sees the concatenated lanes
+    c = c or msm_ops.choose_c(4 * n, groups=4)
     f = lambda sc, pt: jc.point_stack(msm_ops._msm_g1_jit(sc, pt, c, 8))
     t = time_kernel(f, (tuple(groups_sc), tuple(groups_pt)), reps, baseline)
     total = 4 * n
@@ -326,9 +334,10 @@ def _write_md(path: str, baseline: float, entries: list, scaling: list):
         f"Platform: `{jax.devices()}`; dispatch baseline (tunnel RTT) "
         f"{baseline * 1e3:.1f} ms subtracted from every probe.",
         "",
-        "SoL model: VPU ~6.1e12 int32 lane-op/s, HBM 819 GB/s (v5e; see",
-        "`profiling.py` module docstring for the derivation + op-count",
-        "estimates per kernel).",
+        "SoL model: VPU 0.30e12 32-bit lane-op/s (MEASURED sustained",
+        "elementwise rate — see profiling.py docstring; XLA and Pallas",
+        "both saturate at this, so 100% = elementwise speed-of-light),",
+        "HBM 819 GB/s (v5e).",
         "",
         "| kernel | time | throughput | bound | SoL time | utilization |",
         "|---|---|---|---|---|---|",

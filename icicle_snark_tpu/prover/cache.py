@@ -64,24 +64,39 @@ class ZKeyCache:
     keys_bitrev: jnp.ndarray  # (16, n) Montgomery coset key powers, bit-reversed
 
 
+@jax.jit
+def _g1_split(words: jnp.ndarray) -> tuple:
+    return (
+        lb.u32x8_to_limbs_device(words[:, :8]),
+        lb.u32x8_to_limbs_device(words[:, 8:16]),
+    )
+
+
 def _g1_device(words: np.ndarray) -> tuple:
-    """(n, 16) u32 Montgomery affine words -> ((16,n),(16,n)) device limbs."""
-    x = jnp.asarray(lb.u32x8_to_limbs(words[:, :8]))
-    y = jnp.asarray(lb.u32x8_to_limbs(words[:, 8:16]))
+    """(n, 16) u32 Montgomery affine words -> ((16,n),(16,n)) device limbs.
+
+    Uploads the RAW words (half the bytes of the limb expansion — the
+    host->device link is the cold-cache bottleneck) and limb-splits on
+    device."""
+    return _g1_split(jnp.asarray(words))
+
+
+@jax.jit
+def _g2_split(words: jnp.ndarray) -> tuple:
+    x = jnp.stack(
+        [lb.u32x8_to_limbs_device(words[:, :8]), lb.u32x8_to_limbs_device(words[:, 8:16])],
+        axis=1,
+    )
+    y = jnp.stack(
+        [lb.u32x8_to_limbs_device(words[:, 16:24]), lb.u32x8_to_limbs_device(words[:, 24:32])],
+        axis=1,
+    )
     return (x, y)
 
 
 def _g2_device(words: np.ndarray) -> tuple:
     """(n, 32) u32 -> ((16,2,n),(16,2,n)) limb-major Fq2 stacks."""
-    x = jnp.stack(
-        [jnp.asarray(lb.u32x8_to_limbs(words[:, :8])), jnp.asarray(lb.u32x8_to_limbs(words[:, 8:16]))],
-        axis=1,
-    )
-    y = jnp.stack(
-        [jnp.asarray(lb.u32x8_to_limbs(words[:, 16:24])), jnp.asarray(lb.u32x8_to_limbs(words[:, 24:32]))],
-        axis=1,
-    )
-    return (x, y)
+    return _g2_split(jnp.asarray(words))
 
 
 def build_r1cs_plan(m_arr, c_arr, s_arr, coef_words, domain_size: int) -> R1CSPlan:
@@ -130,7 +145,7 @@ def build_r1cs_plan_sorted(slot_sorted, s_sorted, coef_sorted,
 
     return R1CSPlan(
         witness_idx=jnp.asarray(s_sorted),
-        coefs=jnp.asarray(lb.u32x8_to_limbs(coef_sorted)),
+        coefs=lb.u32x8_to_limbs_device(jnp.asarray(coef_sorted)),
         segments=segments,
         num_segments=num_segments,
         level2=level2,

@@ -182,7 +182,8 @@ def prove(wtns_path: str, cache: ZKeyCache, deterministic: bool = False, rng=Non
         )
 
     wit_words = wtns.witness_limbs()  # (n_vars, 8) u32, standard form
-    witness = jnp.asarray(lb.u32x8_to_limbs(wit_words))  # (16, n_vars)
+    # upload raw words (half the bytes), limb-split on device
+    witness = lb.u32x8_to_limbs_device(jnp.asarray(wit_words))  # (16, n_vars)
     timer.mark("witness_ingest")
 
     h_scalars = construct_r1cs(witness, cache)
@@ -214,7 +215,6 @@ def prove(wtns_path: str, cache: ZKeyCache, deterministic: bool = False, rng=Non
     pi_c = cv.g1_add(pi_c, cv.g1_neg(cv.g1_mul(delta1, r * s % R_MOD)))
 
     timer.mark("randomize_assemble")
-    witness_ints = wtns.witness_ints()
-    public_signals = [str(witness_ints[i]) for i in range(1, hdr.n_public + 1)]
+    public_signals = [str(v) for v in wtns.witness_ints(1, hdr.n_public)]
     timer.mark("serialize")
     return serialize_proof(pi_a, pi_b, pi_c), public_signals
