@@ -84,6 +84,16 @@ class FqOps:
     def b3(cls, shape=()):
         return cls.const(3 * B_G1 % Q, shape)
 
+    @staticmethod
+    def mul_b3(x):
+        """9*x as an addition chain (8x + x): ~2x cheaper than a full
+        Montgomery mul — BN254 G1's b3 is tiny, so the two b3 products
+        in every point add/double skip the multiplier entirely."""
+        x2 = lb.add_mod(x, x, FQ_SPEC)
+        x4 = lb.add_mod(x2, x2, FQ_SPEC)
+        x8 = lb.add_mod(x4, x4, FQ_SPEC)
+        return lb.add_mod(x8, x, FQ_SPEC)
+
 
 class Fq2Ops:
     """Quadratic-extension ops on (16, 2, ...) LIMB-MAJOR arrays (u^2 = -1).
@@ -172,9 +182,11 @@ def _batch_shape(x, ops):
 
 
 def identity(ops, shape=()):
-    """Projective identity (0 : 1 : 0)."""
-    zero = ops.const(0, shape) if ops is FqOps else ops.const((0, 0), shape)
-    one = ops.const(1, shape) if ops is FqOps else ops.const((1, 0), shape)
+    """Projective identity (0 : 1 : 0). Extension fields (coord_shape
+    (nlimb, 2)) take component tuples; prime fields take ints."""
+    fp2 = len(ops.coord_shape) == 2
+    zero = ops.const((0, 0) if fp2 else 0, shape)
+    one = ops.const((1, 0) if fp2 else 1, shape)
     return (zero, one, jnp.zeros_like(zero))
 
 
@@ -186,8 +198,6 @@ def padd(ops, p, q):
     x1, y1, z1 = p
     x2, y2, z2 = q
     add, sub = ops.add, ops.sub
-    shape = jnp.broadcast_shapes(x1.shape, x2.shape)[len(ops.coord_shape):]
-    b3 = ops.b3(shape[:-1] + (1,) if shape else ())
 
     t0, t1, t2, ta, tb, tc = ops.mul_many([
         (x1, x2), (y1, y2), (z1, z2),
@@ -199,7 +209,12 @@ def padd(ops, p, q):
     t4 = sub(tb, add(t1, t2))
     t5 = sub(tc, add(t0, t2))
 
-    u, y3m = ops.mul_many([(b3, t2), (b3, t5)])
+    if hasattr(ops, "mul_b3"):
+        u, y3m = ops.mul_b3(t2), ops.mul_b3(t5)
+    else:
+        shape = jnp.broadcast_shapes(x1.shape, x2.shape)[len(ops.coord_shape):]
+        b3 = ops.b3(shape[:-1] + (1,) if shape else ())
+        u, y3m = ops.mul_many([(b3, t2), (b3, t5)])
     z3 = add(t1, u)
     x3m = sub(t1, u)
     t0 = add(add(t0, t0), t0)
@@ -217,14 +232,22 @@ def pmadd(ops, p, q_aff):
     x1, y1, z1 = p
     x2, y2 = q_aff
     add, sub = ops.add, ops.sub
-    shape = _batch_shape(x1, ops)
-    b3 = ops.b3(shape[:-1] + (1,) if shape else ())
 
-    t0, t1, ta, m_xz, m_yz, u = ops.mul_many([
-        (x1, x2), (y1, y2),
-        (add(x1, y1), add(x2, y2)),
-        (x2, z1), (y2, z1), (b3, z1),
-    ])
+    if hasattr(ops, "mul_b3"):
+        t0, t1, ta, m_xz, m_yz = ops.mul_many([
+            (x1, x2), (y1, y2),
+            (add(x1, y1), add(x2, y2)),
+            (x2, z1), (y2, z1),
+        ])
+        u = ops.mul_b3(z1)
+    else:
+        shape = _batch_shape(x1, ops)
+        b3 = ops.b3(shape[:-1] + (1,) if shape else ())
+        t0, t1, ta, m_xz, m_yz, u = ops.mul_many([
+            (x1, x2), (y1, y2),
+            (add(x1, y1), add(x2, y2)),
+            (x2, z1), (y2, z1), (b3, z1),
+        ])
     t3 = sub(ta, add(t0, t1))
     t4 = add(m_xz, x1)
     t5 = add(m_yz, y1)
@@ -232,7 +255,10 @@ def pmadd(ops, p, q_aff):
     x3m = sub(t1, u)
     t0 = add(add(t0, t0), t0)
 
-    (y3m,) = ops.mul_many([(b3, t4)])
+    if hasattr(ops, "mul_b3"):
+        y3m = ops.mul_b3(t4)
+    else:
+        (y3m,) = ops.mul_many([(b3, t4)])
 
     m1, m2, m3, m4, m5, m6 = ops.mul_many([
         (t5, y3m), (t0, y3m), (x3m, z3), (t3, x3m), (t5, z3), (t3, t0),
@@ -257,15 +283,18 @@ def pdbl(ops, p):
     mul layers (4 + 1 + 4)."""
     x1, y1, z1 = p
     add, sub = ops.add, ops.sub
-    shape = _batch_shape(x1, ops)
-    b3 = ops.b3(shape[:-1] + (1,) if shape else ())
 
     t0, t1, t2, txy = ops.mul_many([(y1, y1), (y1, z1), (z1, z1), (x1, y1)])
     z3a = add(t0, t0)
     z3a = add(z3a, z3a)
     z3a = add(z3a, z3a)  # 8*y^2
 
-    (t2b,) = ops.mul_many([(b3, t2)])
+    if hasattr(ops, "mul_b3"):
+        t2b = ops.mul_b3(t2)
+    else:
+        shape = _batch_shape(x1, ops)
+        b3 = ops.b3(shape[:-1] + (1,) if shape else ())
+        (t2b,) = ops.mul_many([(b3, t2)])
     y3s = add(t0, t2b)
     t0b = sub(t0, add(add(t2b, t2b), t2b))
 

@@ -40,26 +40,26 @@ U32 = jnp.uint32
 MONT_UNROLL = int(os.environ.get("ISTPU_MONT_UNROLL", "1"))
 
 
-def int_to_limbs_np(v: int) -> np.ndarray:
-    """Python int -> (16,) uint32 limb vector (16-bit digits, LSB first)."""
-    return np.array([(v >> (LIMB_BITS * i)) & 0xFFFF for i in range(NLIMB)], dtype=np.uint32)
+def int_to_limbs_np(v: int, nlimb: int = NLIMB) -> np.ndarray:
+    """Python int -> (nlimb,) uint32 limb vector (16-bit digits, LSB first)."""
+    return np.array([(v >> (LIMB_BITS * i)) & 0xFFFF for i in range(nlimb)], dtype=np.uint32)
 
 
-def ints_to_limbs_np(vals) -> np.ndarray:
-    """Iterable of ints -> (16, N) limb-major uint32 array."""
-    out = np.empty((NLIMB, len(vals)), dtype=np.uint32)
+def ints_to_limbs_np(vals, nlimb: int = NLIMB) -> np.ndarray:
+    """Iterable of ints -> (nlimb, N) limb-major uint32 array."""
+    out = np.empty((nlimb, len(vals)), dtype=np.uint32)
     for j, v in enumerate(vals):
-        for i in range(NLIMB):
+        for i in range(nlimb):
             out[i, j] = (v >> (LIMB_BITS * i)) & 0xFFFF
     return out
 
 
 def limbs_to_ints_np(arr) -> list:
-    """(16, N) limb array (numpy or jax) -> list of Python ints."""
+    """(nlimb, N) limb array (numpy or jax) -> list of Python ints."""
     a = np.asarray(arr, dtype=np.uint64)
     n = a.shape[1]
     out = [0] * n
-    for i in range(NLIMB):
+    for i in range(a.shape[0]):
         shift = LIMB_BITS * i
         for j in range(n):
             out[j] |= int(a[i, j]) << shift
@@ -101,20 +101,32 @@ def u32x8_to_limbs_device(words: jnp.ndarray) -> jnp.ndarray:
 
 @dataclass(frozen=True)
 class FieldSpec:
-    """Compile-time field parameters (the analog of params_gen.h)."""
+    """Compile-time field parameters (the analog of params_gen.h).
+
+    Limb count derives from the modulus: nlimb = ceil(bits/16) rounded
+    so that 2p < 2^(16*nlimb) (the lazy-carry bound _carry_canonical
+    relies on); the Montgomery radix is R = 2^(16*nlimb). For BN254
+    (254-bit) this gives the 16-limb / R=2^256 layout that matches the
+    snarkjs on-disk radix exactly; wider curves (bls12-377/381 Fq,
+    bw6-761) get 24/24/48 limbs."""
 
     modulus: int
     name: str
 
     def __post_init__(self):
-        object.__setattr__(self, "p_limbs", int_to_limbs_np(self.modulus))
+        bits = self.modulus.bit_length()
+        nlimb = -(-(bits + 1) // LIMB_BITS)  # 2p must fit
+        object.__setattr__(self, "nlimb", nlimb)
+        rbits = LIMB_BITS * nlimb
+        object.__setattr__(self, "radix_bits", rbits)
+        object.__setattr__(self, "p_limbs", int_to_limbs_np(self.modulus, nlimb))
         object.__setattr__(self, "n0inv", np.uint32((-pow(self.modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)))
-        object.__setattr__(self, "nprime_limbs", int_to_limbs_np((-pow(self.modulus, -1, 1 << 256)) % (1 << 256)))
-        r = (1 << 256) % self.modulus
+        object.__setattr__(self, "nprime_limbs", int_to_limbs_np((-pow(self.modulus, -1, 1 << rbits)) % (1 << rbits), nlimb))
+        r = (1 << rbits) % self.modulus
         object.__setattr__(self, "r_mod", r)
-        object.__setattr__(self, "r2_limbs", int_to_limbs_np(r * r % self.modulus))
-        object.__setattr__(self, "one_mont_limbs", int_to_limbs_np(r))
-        object.__setattr__(self, "rinv", pow(1 << 256, -1, self.modulus))
+        object.__setattr__(self, "r2_limbs", int_to_limbs_np(r * r % self.modulus, nlimb))
+        object.__setattr__(self, "one_mont_limbs", int_to_limbs_np(r, nlimb))
+        object.__setattr__(self, "rinv", pow(1 << rbits, -1, self.modulus))
 
 
 # ----------------------------------------------------------------- core ops
@@ -131,8 +143,8 @@ def _carry_canonical(cols, spec: FieldSpec):
         v = cols[k] + carry
         limbs.append(v & MASK)
         carry = v >> LIMB_BITS
-    # value < 2p < 2^255, so limbs beyond 16 and the final carry are zero
-    return _cond_sub_p(limbs[:NLIMB], spec)
+    # value < 2p < 2^(16*nlimb), so higher limbs and the final carry are zero
+    return _cond_sub_p(limbs[: spec.nlimb], spec)
 
 
 def _cond_sub_p(limbs, spec: FieldSpec):
@@ -140,19 +152,19 @@ def _cond_sub_p(limbs, spec: FieldSpec):
     p = spec.p_limbs
     borrow = jnp.zeros_like(limbs[0])
     sub = []
-    for k in range(NLIMB):
+    for k in range(spec.nlimb):
         d = limbs[k] - np.uint32(p[k]) - borrow
         sub.append(d & MASK)
         borrow = (d >> 31) & np.uint32(1)  # borrow iff underflow (top bit set)
     ge_p = borrow == 0
-    return jnp.stack([jnp.where(ge_p, sub[k], limbs[k]) for k in range(NLIMB)], axis=0)
+    return jnp.stack([jnp.where(ge_p, sub[k], limbs[k]) for k in range(spec.nlimb)], axis=0)
 
 
 def add_mod(a, b, spec: FieldSpec):
     """(16, ...) + (16, ...) mod p, canonical in/out."""
     carry = jnp.zeros_like(a[0])
     limbs = []
-    for k in range(NLIMB):
+    for k in range(a.shape[0]):
         v = a[k] + b[k] + carry
         limbs.append(v & MASK)
         carry = v >> LIMB_BITS
@@ -167,7 +179,7 @@ def sub_mod(a, b, spec: FieldSpec):
     p = spec.p_limbs
     borrow = jnp.zeros_like(a[0])
     diff = []
-    for k in range(NLIMB):
+    for k in range(spec.nlimb):
         d = a[k] - b[k] - borrow
         diff.append(d & MASK)
         borrow = (d >> 31) & np.uint32(1)
@@ -176,7 +188,7 @@ def sub_mod(a, b, spec: FieldSpec):
     carry = jnp.zeros_like(a[0])
     fixed = []
     pad = jnp.where(underflow, np.uint32(1), np.uint32(0))
-    for k in range(NLIMB):
+    for k in range(spec.nlimb):
         v = diff[k] + np.uint32(p[k]) * pad + carry
         fixed.append(v & MASK)
         carry = v >> LIMB_BITS
@@ -190,16 +202,16 @@ def neg_mod(a, spec: FieldSpec):
 
 
 def is_zero(a):
-    """(16, ...) -> (...) bool."""
+    """(nlimb, ...) -> (...) bool."""
     acc = a[0]
-    for k in range(1, NLIMB):
+    for k in range(1, a.shape[0]):
         acc = acc | a[k]
     return acc == 0
 
 
 def eq(a, b):
     acc = a[0] ^ b[0]
-    for k in range(1, NLIMB):
+    for k in range(1, a.shape[0]):
         acc = acc | (a[k] ^ b[k])
     return acc == 0
 
@@ -231,8 +243,8 @@ def mont_mul(a, b, spec: FieldSpec, unroll: int | None = None):
         nc = _pick_chunks(lanes, MUL_CHUNK_LANES)
         if nc > 1:
             lc = lanes // nc
-            af = jnp.broadcast_to(a, shape).reshape(NLIMB, nc, lc)
-            bf = jnp.broadcast_to(b, shape).reshape(NLIMB, nc, lc)
+            af = jnp.broadcast_to(a, shape).reshape(spec.nlimb, nc, lc)
+            bf = jnp.broadcast_to(b, shape).reshape(spec.nlimb, nc, lc)
             out = jax.lax.map(
                 lambda ab: _mont_mul_core(ab[0], ab[1], spec, unroll),
                 (jnp.moveaxis(af, 1, 0), jnp.moveaxis(bf, 1, 0)),
@@ -263,10 +275,11 @@ def _mont_mul_core(a, b, spec: FieldSpec, unroll: int | None = None):
     b_size = int(np.prod(b.shape[1:], dtype=np.int64)) if b.ndim > 1 else 1
     if a_size > b_size:
         a, b = b, a
+    nlimb = spec.nlimb
     shape = jnp.broadcast_shapes(a.shape, b.shape)[1:]
-    b = jnp.broadcast_to(b, (NLIMB,) + shape)
+    b = jnp.broadcast_to(b, (nlimb,) + shape)
 
-    pbrd = jnp.asarray(spec.p_limbs.reshape((NLIMB,) + (1,) * len(shape)), dtype=U32)
+    pbrd = jnp.asarray(spec.p_limbs.reshape((nlimb,) + (1,) * len(shape)), dtype=U32)
     n0 = spec.n0inv
     ztop = jnp.zeros((1,) + shape, dtype=U32)
 
@@ -284,8 +297,8 @@ def _mont_mul_core(a, b, spec: FieldSpec, unroll: int | None = None):
         nxt = jnp.concatenate([(t[1] + carry0)[None], t[2:], ztop])
         return nxt, None
 
-    acc0 = jnp.zeros((NLIMB + 1,) + shape, dtype=U32)
-    xs = jnp.broadcast_to(a, (NLIMB,) + shape)
+    acc0 = jnp.zeros((nlimb + 1,) + shape, dtype=U32)
+    xs = jnp.broadcast_to(a, (nlimb,) + shape)
     acc, _ = jax.lax.scan(round_, acc0, xs, unroll=unroll or MONT_UNROLL)
     return _carry_canonical(list(acc), spec)
 
@@ -306,24 +319,25 @@ def redc_wide(cols, spec: FieldSpec):
     carry pushes (< 2^17) plus 15 lo-limb adds (< 2^20).
     """
     n_cols = cols.shape[0]
-    assert n_cols == NLIMB + 1
+    nlimb = spec.nlimb
+    assert n_cols == nlimb + 1
     shape = cols.shape[1:]
-    acc = jnp.zeros((2 * NLIMB + 1,) + shape, dtype=U32)
+    acc = jnp.zeros((2 * nlimb + 1,) + shape, dtype=U32)
     acc = acc.at[:n_cols].set(cols)
 
-    pbrd = jnp.asarray(spec.p_limbs.reshape((NLIMB,) + (1,) * len(shape)), dtype=U32)
+    pbrd = jnp.asarray(spec.p_limbs.reshape((nlimb,) + (1,) * len(shape)), dtype=U32)
     n0 = spec.n0inv
-    for i in range(NLIMB):
+    for i in range(nlimb):
         v = acc[i]
         ti = v & MASK
         m = (ti * n0) & MASK
         mprod = m[None] * pbrd
         lo = mprod & MASK
         acc = acc.at[i + 1].add((v >> LIMB_BITS) + ((ti + lo[0]) >> LIMB_BITS))
-        acc = acc.at[i + 1 : i + NLIMB].add(lo[1:])
-        acc = acc.at[i + 1 : i + NLIMB + 1].add(mprod >> LIMB_BITS)
+        acc = acc.at[i + 1 : i + nlimb].add(lo[1:])
+        acc = acc.at[i + 1 : i + nlimb + 1].add(mprod >> LIMB_BITS)
 
-    return _carry_canonical(list(acc[NLIMB:]), spec)
+    return _carry_canonical(list(acc[nlimb:]), spec)
 
 
 def mont_reduce(a, spec: FieldSpec):
@@ -345,7 +359,7 @@ def mont_pow_const(a, exponent: int, spec: FieldSpec):
         [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.uint32
     )
     one = jnp.broadcast_to(
-        jnp.asarray(spec.one_mont_limbs.reshape((NLIMB,) + (1,) * (a.ndim - 1)), U32),
+        jnp.asarray(spec.one_mont_limbs.reshape((spec.nlimb,) + (1,) * (a.ndim - 1)), U32),
         a.shape,
     )
 
@@ -374,7 +388,7 @@ def batch_inv(a, spec: FieldSpec, _seq_limit: int = 512):
     (the affine-conversion caller masks infinities first)."""
     n = a.shape[-1]
     one_col = jnp.asarray(
-        spec.one_mont_limbs.reshape((NLIMB,) + (1,) * (a.ndim - 1)), U32
+        spec.one_mont_limbs.reshape((spec.nlimb,) + (1,) * (a.ndim - 1)), U32
     )
     if n <= _seq_limit:
         x = jnp.moveaxis(a, -1, 0)  # (n, 16, ...)
@@ -429,7 +443,7 @@ def batch_inv(a, spec: FieldSpec, _seq_limit: int = 512):
 
 def to_mont(a, spec: FieldSpec):
     """Standard form -> Montgomery form: a * R mod p."""
-    r2 = jnp.asarray(spec.r2_limbs.reshape((NLIMB,) + (1,) * (a.ndim - 1)), dtype=U32)
+    r2 = jnp.asarray(spec.r2_limbs.reshape((spec.nlimb,) + (1,) * (a.ndim - 1)), dtype=U32)
     r2 = jnp.broadcast_to(r2, a.shape)
     return mont_mul(a, r2, spec)
 
@@ -440,9 +454,10 @@ def select(mask, a, b):
 
 
 def const_limbs(v: int, shape=(), spec: FieldSpec | None = None) -> jnp.ndarray:
-    """Broadcast a Python int to a (16,) + shape limb array."""
-    base = int_to_limbs_np(v).reshape((NLIMB,) + (1,) * len(shape))
-    return jnp.broadcast_to(jnp.asarray(base, dtype=U32), (NLIMB,) + tuple(shape))
+    """Broadcast a Python int to a (nlimb,) + shape limb array."""
+    nlimb = spec.nlimb if spec is not None else NLIMB
+    base = int_to_limbs_np(v, nlimb).reshape((nlimb,) + (1,) * len(shape))
+    return jnp.broadcast_to(jnp.asarray(base, dtype=U32), (nlimb,) + tuple(shape))
 
 
 # ------------------------------------------------------------- field specs

@@ -72,15 +72,20 @@ def choose_c(n: int, groups: int = 1) -> int:
 
 
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
-    """(16, n) uint32 16-bit limbs -> (n_windows, n) c-bit digits."""
-    n_windows = -(-SCALAR_BITS // c)
+    """(nlimb, n) uint32 16-bit limbs -> (n_windows, n) c-bit digits.
+
+    Scalar bit-width derives from the limb count (16 limbs = 256 bits
+    for BN254; wider scalar fields get proportionally more windows)."""
+    nlimb = scalars.shape[0]
+    scalar_bits = 16 * nlimb
+    n_windows = -(-scalar_bits // c)
     mask = np.uint32((1 << c) - 1)
     digits = []
     for w in range(n_windows):
         bit = w * c
         limb, off = bit // 16, bit % 16
         d = scalars[limb] >> np.uint32(off)
-        if off + c > 16 and limb + 1 < NLIMB:
+        if off + c > 16 and limb + 1 < nlimb:
             d = d | (scalars[limb + 1] << np.uint32(16 - off))
         digits.append(d & mask)
     return jnp.stack(digits, axis=0)
@@ -282,8 +287,8 @@ def _tree_reduce(points, ops):
 
 # ------------------------------------------------------------------ batched core
 
-def _window_sum_grouped(points, keys_w, neg_w, ops, c: int, n_groups: int,
-                        k: int, signed: bool):
+def _window_sum_grouped(points, rows_t, keys_w, neg_w, ops, c: int,
+                        n_groups: int, k: int, signed: bool):
     """Bucket-accumulate and reduce ONE window for all groups at once.
 
     points: group-concatenated (+pad) point arrays, (coords..., total).
@@ -294,12 +299,34 @@ def _window_sum_grouped(points, keys_w, neg_w, ops, c: int, n_groups: int,
     """
     n_buckets = (1 << (c - 1)) + 1 if signed else 1 << c
 
-    order = jnp.argsort(keys_w)
-    k_sorted = keys_w[order]
-    pts = tuple(_gather_last(a, order) for a in points)
+    # Reorder points into bucket order: argsort of the (digit-sign-
+    # tagged) key, then ONE row-major gather of the combined coordinate
+    # payload. Measured on v5e (tools/gather_microbench.py): lane-axis
+    # gathers of limb-major arrays run ~4.6 GB/s while row gathers of
+    # a (n, R) layout + transpose back run ~2x faster; the (R, n) ->
+    # (n, R) transpose of the payload is hoisted OUT of the window loop
+    # (rows_t is per-MSM constant). A 33-operand variadic lax.sort
+    # moved payload 6x faster still, but its XLA compile blows up
+    # (>10 min at 2^16 lanes) — not worth it.
+    total = points[0].shape[-1]
+    key2 = keys_w * jnp.int32(2)
     if signed:
-        neg = neg_w[order]
-        # negate gathered y where the digit is negative
+        key2 = key2 + neg_w.astype(jnp.int32)
+    order = jnp.argsort(key2)
+    key_sorted = key2[order]
+    gathered = jnp.take(rows_t, order, axis=0)  # (total, R) row gather
+    g_rows = jnp.transpose(gathered)  # (R, total)
+    pts = []
+    pos = 0
+    for a in points:
+        nr = int(np.prod(a.shape[:-1]))
+        pts.append(g_rows[pos : pos + nr].reshape(a.shape))
+        pos += nr
+    pts = tuple(pts)
+    k_sorted = key_sorted >> 1
+    if signed:
+        neg = (key_sorted & 1).astype(bool)
+        # negate sorted y where the digit is negative
         x, y = pts
         y = jc.pselect_field(ops, neg, ops.neg(y), y)
         pts = (x, y)
@@ -377,17 +404,22 @@ def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
             )
         points.append(cat)
     points = tuple(points)
+    # row-major payload view for the per-window gather, built ONCE:
+    # (total, R) with R = all coordinate rows concatenated
+    rows_t = jnp.transpose(
+        jnp.concatenate([a.reshape(-1, a.shape[-1]) for a in points], axis=0)
+    )
 
     if signed:
         def body(_, kw):
             keys_w, neg_w = kw
-            ws = _window_sum_grouped(points, keys_w, neg_w, ops, c, n_groups, k, True)
+            ws = _window_sum_grouped(points, rows_t, keys_w, neg_w, ops, c, n_groups, k, True)
             return None, jc.point_stack(ws)
 
         _, stacked = jax.lax.scan(body, None, (keys, negs))
     else:
         def body(_, keys_w):
-            ws = _window_sum_grouped(points, keys_w, None, ops, c, n_groups, k, False)
+            ws = _window_sum_grouped(points, rows_t, keys_w, None, ops, c, n_groups, k, False)
             return None, jc.point_stack(ws)
 
         _, stacked = jax.lax.scan(body, None, keys)

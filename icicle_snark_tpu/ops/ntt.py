@@ -41,29 +41,32 @@ def bitrev_permutation(log_n: int) -> np.ndarray:
     return rev
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _powers_mont_jit(base_mont: jnp.ndarray, log_n: int) -> jnp.ndarray:
-    """(16, 1) Montgomery base -> (16, 2^log_n) powers base^0..base^(n-1).
+@partial(jax.jit, static_argnums=(1, 2))
+def _powers_mont_jit(base_mont: jnp.ndarray, log_n: int,
+                     spec: lb.FieldSpec = None) -> jnp.ndarray:
+    """(nlimb, 1) Montgomery base -> (nlimb, 2^log_n) powers base^0..base^(n-1).
 
-    Binary powering on FIXED (16, n) shapes: log_n full-width muls in
+    Binary powering on FIXED (nlimb, n) shapes: log_n full-width muls in
     one jit (one compile per size, persisted), instead of the eager
     log-doubling whose every step had a new shape and therefore its
     own compile — that made cold zkey-cache builds minutes-slow."""
+    spec = spec or FR_SPEC
     n = 1 << log_n
     idx = jnp.arange(n, dtype=jnp.uint32)
-    acc = lb.const_limbs(fr_to_mont(1), (n,))
+    acc = lb.const_limbs(spec.r_mod, (n,), spec)  # 1 in Montgomery form
     cur = base_mont
     for b in range(log_n):
         hit = ((idx >> np.uint32(b)) & 1) == 1
-        acc = lb.select(hit, lb.mont_mul(acc, cur, FR_SPEC), acc)
-        cur = lb.mont_mul(cur, cur, FR_SPEC)
+        acc = lb.select(hit, lb.mont_mul(acc, cur, spec), acc)
+        cur = lb.mont_mul(cur, cur, spec)
     return acc
 
 
-def powers_mont(base_int: int, log_n: int) -> jnp.ndarray:
-    """(16, 2^log_n) Montgomery-form powers base^0..base^(n-1) (device)."""
-    base = lb.const_limbs(fr_to_mont(base_int), (1,))
-    return _powers_mont_jit(base, log_n)
+def powers_mont(base_int: int, log_n: int, spec: lb.FieldSpec = None) -> jnp.ndarray:
+    """(nlimb, 2^log_n) Montgomery-form powers base^0..base^(n-1) (device)."""
+    spec = spec or FR_SPEC
+    base = lb.const_limbs(base_int * spec.r_mod % spec.modulus, (1,), spec)
+    return _powers_mont_jit(base, log_n, spec)
 
 
 class NTTDomain:
@@ -74,25 +77,34 @@ class NTTDomain:
     singleton in the reference (initialize_domain, icicle/src/ntt.cpp:93).
     """
 
-    def __init__(self, log_n: int):
-        if log_n > 28:
-            raise ValueError("BN254 Fr supports NTTs up to 2^28")
+    def __init__(self, log_n: int, spec: lb.FieldSpec = None, root_tower=None):
+        spec = spec or FR_SPEC
+        tower = root_tower or W
+        if log_n >= len(tower):
+            raise ValueError(
+                f"{spec.name} supports NTTs up to 2^{len(tower) - 1}"
+            )
+        self.spec = spec
         self.log_n = log_n
         self.n = 1 << log_n
-        self.w = W[log_n]
-        self.w_inv = pow(self.w, -1, R_MOD)
-        self.tw_fwd = powers_mont(self.w, log_n)  # (16, n)
-        self.tw_inv = powers_mont(self.w_inv, log_n)
-        self.n_inv_mont = lb.const_limbs(fr_to_mont(pow(self.n, -1, R_MOD)), (1, 1))
+        self.w = tower[log_n]
+        self.w_inv = pow(self.w, -1, spec.modulus)
+        self.tw_fwd = powers_mont(self.w, log_n, spec)  # (nlimb, n)
+        self.tw_inv = powers_mont(self.w_inv, log_n, spec)
+        self.n_inv_mont = lb.const_limbs(
+            pow(self.n, -1, spec.modulus) * spec.r_mod % spec.modulus,
+            (1, 1), spec,
+        )
 
 
 _DOMAINS: dict = {}
 
 
-def get_domain(log_n: int) -> NTTDomain:
-    if log_n not in _DOMAINS:
-        _DOMAINS[log_n] = NTTDomain(log_n)
-    return _DOMAINS[log_n]
+def get_domain(log_n: int, spec: lb.FieldSpec = None, root_tower=None) -> NTTDomain:
+    key = (log_n, (spec or FR_SPEC).name)
+    if key not in _DOMAINS:
+        _DOMAINS[key] = NTTDomain(log_n, spec, root_tower)
+    return _DOMAINS[key]
 
 
 def release_domain(log_n: int | None = None):
@@ -100,22 +112,25 @@ def release_domain(log_n: int | None = None):
     if log_n is None:
         _DOMAINS.clear()
     else:
-        _DOMAINS.pop(log_n, None)
+        for k in [k for k in _DOMAINS if k[0] == log_n]:
+            _DOMAINS.pop(k)
 
 
 def _stage_twiddles(tw: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
-    """(16, m/2) twiddles w_m^j = w_n^(j*n/m), broadcast-shaped (16,1,1,h)."""
+    """(nlimb, m/2) twiddles w_m^j = w_n^(j*n/m), broadcast (nlimb,1,1,h)."""
     h = m // 2
     stride = n // m
     sl = tw[:, : h * stride : stride] if stride > 1 else tw[:, :h]
-    return sl.reshape(NLIMB, 1, 1, h)
+    return sl.reshape(sl.shape[0], 1, 1, h)
 
 
-def ntt_dit(x: jnp.ndarray, tw_fwd: jnp.ndarray) -> jnp.ndarray:
+def ntt_dit(x: jnp.ndarray, tw_fwd: jnp.ndarray,
+            spec: lb.FieldSpec = None) -> jnp.ndarray:
     """Forward NTT, BIT-REVERSED input -> natural output.
 
-    x: (16, B, N) Montgomery limbs. Cooley-Tukey DIT butterflies.
+    x: (nlimb, B, N) Montgomery limbs. Cooley-Tukey DIT butterflies.
     """
+    spec = spec or FR_SPEC
     nlimb, batch, n = x.shape
     log_n = n.bit_length() - 1
     for s in range(1, log_n + 1):
@@ -124,19 +139,21 @@ def ntt_dit(x: jnp.ndarray, tw_fwd: jnp.ndarray) -> jnp.ndarray:
         xr = x.reshape(nlimb, batch, n // m, 2, h)
         u = xr[:, :, :, 0, :]
         v = xr[:, :, :, 1, :]
-        vw = lb.mont_mul(v, _stage_twiddles(tw_fwd, n, m), FR_SPEC)
+        vw = lb.mont_mul(v, _stage_twiddles(tw_fwd, n, m), spec)
         x = jnp.stack(
-            [lb.add_mod(u, vw, FR_SPEC), lb.sub_mod(u, vw, FR_SPEC)], axis=3
+            [lb.add_mod(u, vw, spec), lb.sub_mod(u, vw, spec)], axis=3
         ).reshape(nlimb, batch, n)
     return x
 
 
-def intt_dif(x: jnp.ndarray, tw_inv: jnp.ndarray, n_inv_mont: jnp.ndarray) -> jnp.ndarray:
+def intt_dif(x: jnp.ndarray, tw_inv: jnp.ndarray, n_inv_mont: jnp.ndarray,
+             spec: lb.FieldSpec = None) -> jnp.ndarray:
     """Inverse NTT, natural input -> BIT-REVERSED output.
 
-    x: (16, B, N). Gentleman-Sande butterflies with inverse twiddles,
+    x: (nlimb, B, N). Gentleman-Sande butterflies with inverse twiddles,
     scaled by 1/n.
     """
+    spec = spec or FR_SPEC
     nlimb, batch, n = x.shape
     log_n = n.bit_length() - 1
     for s in range(log_n, 0, -1):
@@ -145,10 +162,10 @@ def intt_dif(x: jnp.ndarray, tw_inv: jnp.ndarray, n_inv_mont: jnp.ndarray) -> jn
         xr = x.reshape(nlimb, batch, n // m, 2, h)
         u = xr[:, :, :, 0, :]
         v = xr[:, :, :, 1, :]
-        ssum = lb.add_mod(u, v, FR_SPEC)
-        diff = lb.mont_mul(lb.sub_mod(u, v, FR_SPEC), _stage_twiddles(tw_inv, n, m), FR_SPEC)
+        ssum = lb.add_mod(u, v, spec)
+        diff = lb.mont_mul(lb.sub_mod(u, v, spec), _stage_twiddles(tw_inv, n, m), spec)
         x = jnp.stack([ssum, diff], axis=3).reshape(nlimb, batch, n)
-    return lb.mont_mul(x, n_inv_mont[:, :, :1], FR_SPEC)
+    return lb.mont_mul(x, n_inv_mont[:, :, :1], spec)
 
 
 def ntt_natural(x: jnp.ndarray, domain: NTTDomain, inverse: bool = False) -> jnp.ndarray:
@@ -156,7 +173,8 @@ def ntt_natural(x: jnp.ndarray, domain: NTTDomain, inverse: bool = False) -> jnp
     used by tests and the generic vec-ops API; the prove pipeline uses
     the reorder-free bitrev pair instead."""
     rev = jnp.asarray(bitrev_permutation(domain.log_n))
+    spec = getattr(domain, "spec", None)
     if inverse:
-        y = intt_dif(x, domain.tw_inv, domain.n_inv_mont)
+        y = intt_dif(x, domain.tw_inv, domain.n_inv_mont, spec)
         return y[:, :, rev]
-    return ntt_dit(x[:, :, rev], domain.tw_fwd)
+    return ntt_dit(x[:, :, rev], domain.tw_fwd, spec)

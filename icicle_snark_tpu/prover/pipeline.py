@@ -135,14 +135,36 @@ def groth16_commitments(witness, h_scalars, cache: ZKeyCache):
     """
     npub = cache.header.n_public
     wit_c = witness[:, npub + 1 :]
-    # all four G1 MSMs share one compiled pipeline (batched groups)
-    pi_a, pi_b1, pi_c, pi_h = msm_ops.msm_g1_many([
+    groups = [
         (witness, cache.points_a),
         (witness, cache.points_b1),
         (wit_c, cache.points_c),
         (h_scalars, cache.points_h),
-    ])
-    pi_b = msm_ops.msm_g2(witness, cache.points_b2)
+    ]
+    total = sum(s.shape[-1] for s, _ in groups)
+    n2 = witness.shape[-1]
+    if total > msm_ops.MSM_MAX_LANES or n2 > msm_ops.MSM_MAX_LANES // 2:
+        # out-of-core path: sliced MSMs, sequential
+        pi_a, pi_b1, pi_c, pi_h = msm_ops.msm_g1_many(groups)
+        pi_b = msm_ops.msm_g2(witness, cache.points_b2)
+        return pi_a, pi_b1, pi_b, pi_c, pi_h
+
+    # in-core: dispatch BOTH pipelines before fetching either, so the
+    # G2 MSM executes on device while the host fetches G1 window sums
+    # and runs the Horner ladders (the role of the reference's second
+    # CUDA stream, proof_helper.rs:191-206)
+    c = msm_ops.choose_c(total, groups=len(groups))
+    ws1 = msm_ops._msm_g1_jit(
+        tuple(s for s, _ in groups), tuple(p for _, p in groups), c, 32
+    )
+    ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c, 32)
+    pi_a, pi_b1, pi_c, pi_h = (
+        msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws1, g), c)
+        for g in range(4)
+    )
+    pi_b = msm_ops.horner_combine(
+        msm_ops.window_points_to_host_g2(ws2, 0), c, g2=True
+    )
     return pi_a, pi_b1, pi_b, pi_c, pi_h
 
 

@@ -1,0 +1,97 @@
+"""Unit tests for the MSM building blocks added with the telescoped
+bucket reduction (window = (B-1)*P_last - sum P_ends): chunked reduce,
+signed/unsigned window paths, and the grouped-c cost model."""
+
+import numpy as np
+import pytest
+
+from icicle_snark_tpu import _testpoints
+from icicle_snark_tpu.curve import jcurve as jc
+from icicle_snark_tpu.fields import limbs as lb
+from icicle_snark_tpu.ops import msm as msm_ops
+from icicle_snark_tpu.refmath import curve as rcv
+from icicle_snark_tpu.refmath.field import R_MOD, fq_from_mont
+
+
+def _host_point(wsums_g1, g, w):
+    xs, ys, zs = (np.asarray(a) for a in wsums_g1)
+
+    def fq(arr):
+        return fq_from_mont(lb.limbs_to_ints_np(arr.reshape(lb.NLIMB, 1))[0])
+
+    return (fq(xs[:, g, w]), fq(ys[:, g, w]), fq(zs[:, g, w]))
+
+
+@pytest.fixture(scope="module")
+def pts64():
+    n = 64
+    rng = np.random.default_rng(3)
+    ks = [int(k) for k in rng.integers(1, 1 << 20, size=n)]
+    aff = [rcv.g1_to_affine(rcv.g1_mul(rcv.G1_GEN, k)) for k in ks]
+    from icicle_snark_tpu.refmath.field import fq_to_mont
+
+    x = lb.ints_to_limbs_np([fq_to_mont(a[0]) for a in aff])
+    y = lb.ints_to_limbs_np([fq_to_mont(a[1]) for a in aff])
+    return x, y, aff
+
+
+def test_chunked_reduce_matches_roll(pts64):
+    x, y, aff = pts64
+    import jax.numpy as jnp
+
+    one = lb.ints_to_limbs_np([__import__("icicle_snark_tpu.refmath.field", fromlist=["fq_to_mont"]).fq_to_mont(1)] * 64)
+    pts = (jnp.asarray(x), jnp.asarray(y), jnp.asarray(one))
+    # width 64 -> _roll_reduce fallback; width 96 (pad path) via tiling
+    red = msm_ops._chunked_reduce(pts, jc.FqOps, k=8)
+    exp = rcv.G1_ZERO
+    for a in aff:
+        exp = rcv.g1_add(exp, rcv.g1_from_affine(a))
+    got = tuple(
+        fq_from_mont(lb.limbs_to_ints_np(np.asarray(r).reshape(lb.NLIMB, 1))[0])
+        for r in red
+    )
+    assert rcv.g1_eq(got, exp)
+
+
+def test_chunked_reduce_wide_nonmultiple(pts64):
+    """Width 72 with k=32: pad path + level recursion."""
+    import jax.numpy as jnp
+
+    x, y, aff = pts64
+    from icicle_snark_tpu.refmath.field import fq_to_mont
+
+    x = np.concatenate([x, x[:, :8]], axis=1)
+    y = np.concatenate([y, y[:, :8]], axis=1)
+    one = lb.ints_to_limbs_np([fq_to_mont(1)] * 72)
+    # force multi-level: k=4 -> levels 72->18->...
+    red = msm_ops._chunked_reduce((jnp.asarray(x), jnp.asarray(y), jnp.asarray(one)), jc.FqOps, k=4)
+    exp = rcv.G1_ZERO
+    for a in aff + aff[:8]:
+        exp = rcv.g1_add(exp, rcv.g1_from_affine(a))
+    got = tuple(
+        fq_from_mont(lb.limbs_to_ints_np(np.asarray(r).reshape(lb.NLIMB, 1))[0])
+        for r in red
+    )
+    assert rcv.g1_eq(got, exp)
+
+
+@pytest.mark.parametrize("signed", [True, False])
+def test_window_paths_match_oracle(pts64, signed):
+    x, y, aff = pts64
+    rng = np.random.default_rng(11)
+    vals = [int(v) % R_MOD for v in rng.integers(0, 1 << 63, size=64, dtype=np.uint64)]
+    vals[0] = 0
+    sc = lb.ints_to_limbs_np(vals)
+    ws = msm_ops.msm_device_grouped([sc], [(x, y)], jc.FqOps, c=8, k=8, signed=signed)
+    pts = [_host_point(ws, 0, w) for w in range(np.asarray(ws[0]).shape[-1])]
+    got = msm_ops.horner_combine(pts, 8)
+    exp = rcv.G1_ZERO
+    for v, a in zip(vals, aff):
+        exp = rcv.g1_add(exp, rcv.g1_mul(rcv.g1_from_affine(a), v))
+    assert rcv.g1_eq(got, exp)
+
+
+def test_choose_c_monotone_in_total():
+    assert msm_ops.choose_c(1 << 12) <= msm_ops.choose_c(1 << 22)
+    # grouped call with the same total but more groups never raises c
+    assert msm_ops.choose_c(1 << 19, groups=4) <= msm_ops.choose_c(1 << 19, groups=1)
