@@ -15,6 +15,8 @@ locally re-measured reference number exists; until then it is 0.0
 
 Env knobs:
   BENCH_CONSTRAINTS  circuit size (default 100000)
+  BENCH_CIRCUIT      "complex" (default) or "sha256" (circomlib
+                     Sha256(512) analog, reference benchmark/sha256)
   BENCH_REPS         timed repetitions (default 3, median reported)
 """
 
@@ -62,14 +64,69 @@ def ensure_fixture(n_constraints: int) -> tuple:
     return zkey, vk, wtns
 
 
+def ensure_keccak_fixture() -> tuple:
+    """Keccak(256,256)-equivalent fixture (reference benchmark/keccak256)."""
+    from icicle_snark_tpu.io.wtns import write_wtns
+    from icicle_snark_tpu.setup.fast_setup import groth16_setup_device
+    from icicle_snark_tpu.setup.keccak_circuit import keccak256_circuit
+
+    d = os.path.join(FIXTURE_DIR, "keccak256")
+    zkey = os.path.join(d, "circuit_final.zkey")
+    vk = os.path.join(d, "verification_key.json")
+    wtns = os.path.join(d, "witness.wtns")
+    if not (os.path.exists(zkey) and os.path.exists(wtns) and os.path.exists(vk)):
+        os.makedirs(d, exist_ok=True)
+        log("generating fixture keccak256 (one-time, device-backed)...")
+        t0 = time.time()
+        msg = bytes(range(32))
+        bits = [(msg[i // 8] >> (i % 8)) & 1 for i in range(256)]
+        r1cs, witness = keccak256_circuit(bits)
+        groth16_setup_device(r1cs, zkey, vk)
+        write_wtns(wtns, witness)
+        log(f"fixture ready in {time.time() - t0:.1f}s")
+    return zkey, vk, wtns
+
+
+def ensure_sha256_fixture() -> tuple:
+    """Sha256(512)-equivalent circuit fixture (reference benchmark/sha256)."""
+    from icicle_snark_tpu.io.wtns import write_wtns
+    from icicle_snark_tpu.setup.fast_setup import groth16_setup_device
+    from icicle_snark_tpu.setup.sha256_circuit import sha256_512_circuit
+
+    d = os.path.join(FIXTURE_DIR, "sha256_512")
+    zkey = os.path.join(d, "circuit_final.zkey")
+    vk = os.path.join(d, "verification_key.json")
+    wtns = os.path.join(d, "witness.wtns")
+    if not (os.path.exists(zkey) and os.path.exists(wtns) and os.path.exists(vk)):
+        os.makedirs(d, exist_ok=True)
+        log("generating fixture sha256_512 (one-time, device-backed)...")
+        t0 = time.time()
+        msg = bytes(range(64))
+        bits = [(msg[i // 8] >> (7 - i % 8)) & 1 for i in range(512)]
+        r1cs, witness = sha256_512_circuit(bits)
+        groth16_setup_device(r1cs, zkey, vk)
+        write_wtns(wtns, witness)
+        log(f"fixture ready in {time.time() - t0:.1f}s")
+    return zkey, vk, wtns
+
+
 def main():
     n_constraints = int(os.environ.get("BENCH_CONSTRAINTS", "100000"))
+    circuit = os.environ.get("BENCH_CIRCUIT", "complex")
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     import jax
 
     log(f"jax devices: {jax.devices()}")
-    zkey, vk, wtns = ensure_fixture(n_constraints)
+    if circuit == "sha256":
+        zkey, vk, wtns = ensure_sha256_fixture()
+        metric_name = "groth16_prove_sha256_512_warm"
+    elif circuit == "keccak256":
+        zkey, vk, wtns = ensure_keccak_fixture()
+        metric_name = "groth16_prove_keccak256_warm"
+    else:
+        zkey, vk, wtns = ensure_fixture(n_constraints)
+        metric_name = f"groth16_prove_complex{n_constraints // 1000}k_warm"
 
     from icicle_snark_tpu.prover import pipeline
     from icicle_snark_tpu.prover.cache import CacheManager
@@ -105,7 +162,7 @@ def main():
     best = min(times)
 
     median = best
-    metric = f"groth16_prove_complex{n_constraints // 1000}k_warm"
+    metric = metric_name
     baseline_s = 0.0
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")) as fh:

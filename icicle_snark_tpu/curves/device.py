@@ -306,7 +306,8 @@ def window_points_to_host(wsums, ops, g: int = 0) -> list:
     spec = ops.spec
     fp2 = len(ops.coord_shape) == 2
     out = []
-    arrs = [np.asarray(a) for a in wsums]
+    stacked = np.asarray(wsums)  # (3, coords..., G, W) — one fetch
+    arrs = [stacked[0], stacked[1], stacked[2]]
     n_w = arrs[0].shape[-1]
     for w in range(n_w):
         coords = []

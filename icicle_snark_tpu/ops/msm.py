@@ -364,7 +364,10 @@ def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
     one compiled pipeline. scalars: (16, n_g) raw integer limbs; points:
     affine coordinate tuples (coords..., n_g).
 
-    Returns window sums, a tuple of 3 arrays (coords..., G, n_windows).
+    Returns window sums as ONE stacked array (3,) + coords + (G,
+    n_windows): a single output buffer means the host readback is a
+    single D2H transfer (one tunnel RTT) instead of three — the role of
+    the reference's batched copy_to_host_async (proof_helper.rs:214-235).
     """
     n_groups = len(scalar_groups)
     n_buckets = (1 << (c - 1)) + 1 if signed else 1 << c
@@ -423,9 +426,8 @@ def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
             return None, jc.point_stack(ws)
 
         _, stacked = jax.lax.scan(body, None, keys)
-    # stacked: (W, 3, coords..., G) -> tuple of 3 arrays (coords..., G, W)
-    moved = jnp.moveaxis(stacked, 0, -1)
-    return (moved[0], moved[1], moved[2])
+    # stacked: (W, 3, coords..., G) -> one array (3, coords..., G, W)
+    return jnp.moveaxis(stacked, 0, -1)
 
 
 # ------------------------------------------------------------------ host side
@@ -435,8 +437,12 @@ def _limbs_to_fq(arr) -> int:
 
 
 def window_points_to_host_g1(wsums, g: int = 0) -> list:
-    """wsums: tuple of (16, G, W) -> list of W host projective points."""
-    xs, ys, zs = (np.asarray(a) for a in wsums)
+    """wsums: stacked (3, 16, G, W) array (device or pre-fetched numpy)
+    -> list of W host projective points. Pass a numpy array (one bulk
+    np.asarray per MSM) when reading several groups to avoid repeated
+    device fetches."""
+    arr = np.asarray(wsums)
+    xs, ys, zs = arr[0], arr[1], arr[2]
     return [
         (
             _limbs_to_fq(xs[:, g, w]),
@@ -448,7 +454,8 @@ def window_points_to_host_g1(wsums, g: int = 0) -> list:
 
 
 def window_points_to_host_g2(wsums, g: int = 0) -> list:
-    xs, ys, zs = (np.asarray(a) for a in wsums)  # each (16, 2, G, W)
+    arr = np.asarray(wsums)  # (3, 16, 2, G, W)
+    xs, ys, zs = arr[0], arr[1], arr[2]
     return [
         (
             (_limbs_to_fq(xs[:, 0, g, w]), _limbs_to_fq(xs[:, 1, g, w])),
@@ -498,7 +505,9 @@ MSM_MAX_LANES = int(_os.environ.get("ISTPU_MSM_MAX_LANES", str(1 << 21)))
 @partial(jax.jit, static_argnums=0)
 def _acc_windows(is_g2, acc, new):
     ops = jc.Fq2Ops if is_g2 else jc.FqOps
-    return jc.padd(ops, acc, new)
+    return jc.point_stack(
+        jc.padd(ops, jc.point_unstack(acc), jc.point_unstack(new))
+    )
 
 
 def _pad_lanes(arr, size):
@@ -537,9 +546,9 @@ def msm_g1_many(groups, c: int | None = None, k: int = 32) -> list:
             ws = _msm_windows_chunked(scalars, points, c, k, False, MSM_MAX_LANES)
             out.append(horner_combine(window_points_to_host_g1(ws, 0), c))
         return out
-    wsums = _msm_g1_jit(
+    wsums = np.asarray(_msm_g1_jit(
         tuple(s for s, _ in groups), tuple(p for _, p in groups), c, k
-    )
+    ))  # one bulk fetch for all groups
     return [
         horner_combine(window_points_to_host_g1(wsums, g), c)
         for g in range(len(groups))

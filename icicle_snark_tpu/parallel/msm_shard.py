@@ -30,9 +30,9 @@ def msm_window_sums_local(scalar_groups, point_groups, ops, c: int, k: int):
     window sums.
     """
     wsums = msm_ops.msm_device_grouped(scalar_groups, point_groups, ops, c, k)
-    # (coords..., G, W) per device -> (coords..., G, W, D)
-    gathered = tuple(
-        jnp.moveaxis(jax.lax.all_gather(a, AXIS), 0, -1) for a in wsums
-    )
+    # stacked (3, coords..., G, W) per device -> per-coord (..., W, D)
+    gathered = jnp.moveaxis(jax.lax.all_gather(wsums, AXIS), 0, -1)
     # identity-padded pairwise reduce: fixed order -> deterministic
-    return msm_ops._tree_reduce(gathered, ops)
+    return jc.point_stack(
+        msm_ops._tree_reduce(jc.point_unstack(gathered), ops)
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
@@ -116,8 +117,8 @@ def build_sharded_prove_step(mesh, log_n: int, num_segments: int, c: int, k: int
         (g2, g2),           # pb2
         g1,                 # wit_c
     )
-    pt = (rep, rep, rep)
-    out_specs = (rep, pt, pt)
+    # window sums are single stacked arrays (3, coords..., G, W)
+    out_specs = (rep, rep, rep)
 
     # check_vma=False: the MSM scan carries start replicated (identity
     # points) and become device-varying after the first scanned shard
@@ -195,6 +196,7 @@ def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
     c = c or msm_ops.choose_c(4 * n_pts // d, groups=4)
     _h, ws_g1, ws_b2 = run_sharded_prove(mesh, cache, witness, c=c, k=k)
 
+    ws_g1 = np.asarray(ws_g1)  # one bulk fetch for all four G1 groups
     pi_a = msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws_g1, 0), c)
     pi_b1 = msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws_g1, 1), c)
     pi_c = msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws_g1, 2), c)

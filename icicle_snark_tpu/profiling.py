@@ -233,7 +233,7 @@ def profile_msm(log_n: int, reps: int, baseline: float, c: int | None = None) ->
         x, y, _ = _testpoints.random_g1_batch(n, seed=100 + g)
         groups_pt.append((x, y))
     c = c or msm_ops.choose_c(4 * n, groups=4)
-    f = lambda sc, pt: jc.point_stack(msm_ops._msm_g1_jit(sc, pt, c, 8))
+    f = lambda sc, pt: msm_ops._msm_g1_jit(sc, pt, c, 8)  # already stacked
     t = time_kernel(f, (tuple(groups_sc), tuple(groups_pt)), reps, baseline)
     total = 4 * n
     windows = -(-msm_ops.SCALAR_BITS // c)
@@ -280,8 +280,8 @@ def scaling_report(reps: int = 2) -> list:
         mesh = make_mesh(devs[:s])
         f = jax.jit(
             jax.shard_map(
-                lambda a, px, py: jc.point_stack(
-                    msm_window_sums_local([a], [(px, py)], jc.FqOps, 8, 8)
+                lambda a, px, py: msm_window_sums_local(
+                    [a], [(px, py)], jc.FqOps, 8, 8
                 ),
                 mesh=mesh,
                 in_specs=(P(None, AXIS),) * 3,

@@ -158,12 +158,16 @@ def groth16_commitments(witness, h_scalars, cache: ZKeyCache):
         tuple(s for s, _ in groups), tuple(p for _, p in groups), c, 32
     )
     ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c, 32)
+    # ONE bulk D2H fetch per pipeline (single stacked output buffer);
+    # the G1 Horner ladders run on host while the G2 MSM is still
+    # executing on device
+    ws1_np = np.asarray(ws1)
     pi_a, pi_b1, pi_c, pi_h = (
-        msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws1, g), c)
+        msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws1_np, g), c)
         for g in range(4)
     )
     pi_b = msm_ops.horner_combine(
-        msm_ops.window_points_to_host_g2(ws2, 0), c, g2=True
+        msm_ops.window_points_to_host_g2(np.asarray(ws2), 0), c, g2=True
     )
     return pi_a, pi_b1, pi_b, pi_c, pi_h
 

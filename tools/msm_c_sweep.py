@@ -65,22 +65,22 @@ def main():
     for c in cs:
         t0 = time.perf_counter()
         ws = msm_ops._msm_g1_jit(sc, pt, c, 32)
-        force(*ws)
+        force(ws)
         compile_t = time.perf_counter() - t0
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            force(*msm_ops._msm_g1_jit(sc, pt, c, 32))
+            force(msm_ops._msm_g1_jit(sc, pt, c, 32))
             times.append(time.perf_counter() - t0)
         g1 = min(times)
 
         t0 = time.perf_counter()
         ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c, 32)
-        force(*ws2)
+        force(ws2)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            force(*msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c, 32))
+            force(msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c, 32))
             times.append(time.perf_counter() - t0)
         g2 = min(times)
         print(f"c={c:2d}  G1x4 {g1*1e3:8.1f} ms   G2 {g2*1e3:8.1f} ms   (first-call {compile_t:.0f}s)", flush=True)

@@ -81,21 +81,22 @@ def main():
         ws = msm_ops._msm_g1_jit(
             tuple(s for s, _ in groups), tuple(p for _, p in groups), c, 32
         )
-        force(*ws)
+        force(ws)
         t3 = time.perf_counter()
         print(f"G1 MSM x4 (c={c})    {t3-t2:8.3f} s")
 
         ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c, 32)
-        force(*ws2)
+        force(ws2)
         t4 = time.perf_counter()
         print(f"G2 MSM (c={c})       {t4-t3:8.3f} s")
 
+        ws_np = np.asarray(ws)  # one bulk fetch
         pts = [
-            msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws, g), c)
+            msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws_np, g), c)
             for g in range(4)
         ]
         pi_b = msm_ops.horner_combine(
-            msm_ops.window_points_to_host_g2(ws2, 0), c, g2=True
+            msm_ops.window_points_to_host_g2(np.asarray(ws2), 0), c, g2=True
         )
         t5 = time.perf_counter()
         print(f"fetch+horner (host) {t5-t4:8.3f} s")
