@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from functools import partial
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..fields import limbs as lb
 from ..fields.limbs import FQ_SPEC, NLIMB
@@ -78,6 +79,23 @@ class FqOps:
     def const(v: int, shape=()):
         """Montgomery-form broadcast constant."""
         return lb.const_limbs(fq_to_mont(v), shape)
+
+    @staticmethod
+    def is_zero_lanes(a):
+        """(16, ...) -> (...) bool, per lane."""
+        return lb.is_zero(a)
+
+    @staticmethod
+    def one_like(a):
+        one = jnp.asarray(
+            FQ_SPEC.one_mont_limbs.reshape((NLIMB,) + (1,) * (a.ndim - 1)), lb.U32
+        )
+        return jnp.broadcast_to(one, a.shape)
+
+    @staticmethod
+    def inv(a):
+        """Batched field inverse along the last axis (Montgomery trick)."""
+        return lb.batch_inv(a, FQ_SPEC)
 
     # b3 = 3*b = 9 for G1
     @classmethod
@@ -166,6 +184,35 @@ class Fq2Ops:
     def const(v2: tuple, shape=()):
         return jnp.stack(
             [lb.const_limbs(fq_to_mont(v2[0]), shape), lb.const_limbs(fq_to_mont(v2[1]), shape)],
+            axis=1,
+        )
+
+    @staticmethod
+    def is_zero_lanes(a):
+        """(16, 2, ...) -> (...) bool, per lane (both components zero)."""
+        return lb.is_zero(a[:, 0]) & lb.is_zero(a[:, 1])
+
+    @staticmethod
+    def one_like(a):
+        one = np.zeros((NLIMB, 2) + (1,) * (a.ndim - 2), np.uint32)
+        one[:, 0, ...] = FQ_SPEC.one_mont_limbs.reshape(
+            (NLIMB,) + (1,) * (a.ndim - 2)
+        )
+        return jnp.broadcast_to(jnp.asarray(one), a.shape)
+
+    @staticmethod
+    def inv(a):
+        """Fq2 inverse: (x+yu)^-1 = (x-yu)/(x^2+y^2), batched norm inv."""
+        x, y = a[:, 0], a[:, 1]
+        norm = lb.add_mod(
+            lb.mont_mul(x, x, FQ_SPEC), lb.mont_mul(y, y, FQ_SPEC), FQ_SPEC
+        )
+        ninv = lb.batch_inv(norm, FQ_SPEC)
+        return jnp.stack(
+            [
+                lb.mont_mul(x, ninv, FQ_SPEC),
+                lb.mont_mul(lb.neg_mod(y, FQ_SPEC), ninv, FQ_SPEC),
+            ],
             axis=1,
         )
 

@@ -285,6 +285,84 @@ def _tree_reduce(points, ops):
     return _roll_reduce(points, ops)
 
 
+# ------------------------------------------------------------------ precompute
+
+def to_affine_device(proj, ops):
+    """Projective device points -> affine (x, y), infinity -> (0, 0).
+
+    Batch-inverts z (Montgomery trick) — one-time cost, used by base
+    precompute (the analog of the reference's msm_precompute_bases,
+    icicle/src/msm.cpp:30-73)."""
+    x, y, z = proj
+    inf = ops.is_zero_lanes(z)
+    zsafe = jc.pselect_field(ops, inf, ops.one_like(z), z)
+    zi = ops.inv(zsafe)
+    ax, ay = ops.mul_many([(x, zi), (y, zi)])
+    zero = jnp.zeros_like(ax)
+    ax = jc.pselect_field(ops, inf, zero, ax)
+    ay = jc.pselect_field(ops, inf, zero, ay)
+    return ax, ay
+
+
+def precompute_bases(points_affine, ops, c: int, factor: int,
+                     scalar_bits: int = 16 * NLIMB):
+    """Precompute-factor bases: interleaved affine copies
+    [P, 2^(c*Wp)P, ..., 2^((factor-1)*c*Wp)P] with lane layout
+    i*factor + m = copy m of point i, so an out-of-core slice of
+    scalars [s0:s1] maps to the contiguous point rows
+    [factor*s0 : factor*s1].
+
+    Mirrors the reference's precompute_bases + precompute_factor
+    (wrappers/rust/icicle-core/src/msm/mod.rs:175-190, shifted copies
+    2^{lc}*P per cuda_msm.cuh precompute kernel)."""
+    if factor == 1:
+        return points_affine
+    x, y = points_affine
+    w_total = -(-scalar_bits // c)
+    wp = -(-w_total // factor)
+    shift = c * wp
+
+    inf = ops.is_zero_lanes(x) & ops.is_zero_lanes(y)
+    z = jc.pselect_field(ops, inf, jnp.zeros_like(x), ops.one_like(x))
+    copies = [(x, y)]
+    cur = (x, y, z)
+
+    def dbl_k(p, k):
+        stacked = jc.point_stack(p)
+
+        def body(_, s):
+            return jc.point_stack(jc.pdbl(ops, jc.point_unstack(s)))
+
+        return jc.point_unstack(jax.lax.fori_loop(0, k, body, stacked))
+
+    for _ in range(factor - 1):
+        cur = dbl_k(cur, shift)
+        copies.append(to_affine_device(cur, ops))
+        cur = None  # re-lift from the affine copy: keeps z == 1 exact
+        ax, ay = copies[-1]
+        z = jc.pselect_field(ops, inf, jnp.zeros_like(ax), ops.one_like(ax))
+        cur = (ax, ay, z)
+
+    outs = []
+    for i in range(2):
+        arr = jnp.stack([cp[i] for cp in copies], axis=-1)  # (..., n, p)
+        outs.append(arr.reshape(arr.shape[:-2] + (arr.shape[-2] * arr.shape[-1],)))
+    return tuple(outs)
+
+
+def _merge_digit_windows(arr, factor: int, wp: int, fill):
+    """(W, n) per-window rows -> (wp, n*factor) merged rows where merged
+    window j lane i*factor+m = arr[j + m*wp, i]."""
+    w, n = arr.shape
+    pad = wp * factor - w
+    if pad:
+        filler = jnp.full((pad, n), fill, arr.dtype)
+        arr = jnp.concatenate([arr, filler], axis=0)
+    a = arr.reshape(factor, wp, n)          # [m, j, i]
+    a = jnp.transpose(a, (1, 2, 0))          # [j, i, m]
+    return a.reshape(wp, n * factor)
+
+
 # ------------------------------------------------------------------ batched core
 
 def _window_sum_grouped(points, rows_t, keys_w, neg_w, ops, c: int,
@@ -359,7 +437,7 @@ def _window_sum_grouped(points, rows_t, keys_w, neg_w, ops, c: int,
 
 
 def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
-                       signed: bool = True):
+                       signed: bool = True, precompute: int = 1):
     """All window sums for a LIST of (scalars, points) groups sharing
     one compiled pipeline. scalars: (16, n_g) raw integer limbs; points:
     affine coordinate tuples (coords..., n_g).
@@ -370,21 +448,28 @@ def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
     the reference's batched copy_to_host_async (proof_helper.rs:214-235).
     """
     n_groups = len(scalar_groups)
+    p = precompute
     n_buckets = (1 << (c - 1)) + 1 if signed else 1 << c
-    sizes = [s.shape[-1] for s in scalar_groups]
+    sizes = [p * s.shape[-1] for s in scalar_groups]
     total = sum(sizes)
     pad = (-total) % k
+    scalar_bits = 16 * scalar_groups[0].shape[0]
+    w_total = -(-scalar_bits // c)
+    wp = -(-w_total // p)  # merged window count
+
+    def merge(arr, fill):
+        return _merge_digit_windows(arr, p, wp, fill) if p > 1 else arr
 
     if signed:
         dn = [window_digits_signed(s, c) for s in scalar_groups]
-        digs = [d for d, _ in dn]
-        negs = jnp.concatenate([n for _, n in dn], axis=-1)
+        digs = [merge(d, 0) for d, _ in dn]
+        negs = jnp.concatenate([merge(ng, False) for _, ng in dn], axis=-1)
         if pad:
             negs = jnp.concatenate(
                 [negs, jnp.zeros((negs.shape[0], pad), bool)], axis=-1
             )
     else:
-        digs = [window_digits(s, c) for s in scalar_groups]
+        digs = [merge(window_digits(s, c), 0) for s in scalar_groups]
         negs = None
     keys = [
         d.astype(jnp.int32) + np.int32(g * n_buckets) for g, d in enumerate(digs)
@@ -394,6 +479,10 @@ def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
         sentinel = jnp.full((keys.shape[0], pad), n_groups * n_buckets, jnp.int32)
         keys = jnp.concatenate([keys, sentinel], axis=-1)
 
+    for s, pg in zip(scalar_groups, point_groups):
+        assert pg[0].shape[-1] == p * s.shape[-1], (
+            f"point width {pg[0].shape[-1]} != precompute {p} x scalars {s.shape[-1]}"
+        )
     ncoords = len(point_groups[0])
     points = []
     for i in range(ncoords):
@@ -482,14 +571,20 @@ def horner_combine(window_points, c: int, g2: bool = False):
 
 # ------------------------------------------------------------------ public API
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _msm_g1_jit(scalar_groups, point_groups, c, k):
-    return msm_device_grouped(list(scalar_groups), list(point_groups), jc.FqOps, c, k)
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _msm_g1_jit(scalar_groups, point_groups, c, k, precompute=1):
+    return msm_device_grouped(
+        list(scalar_groups), list(point_groups), jc.FqOps, c, k,
+        precompute=precompute,
+    )
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _msm_g2_jit(scalar_groups, point_groups, c, k):
-    return msm_device_grouped(list(scalar_groups), list(point_groups), jc.Fq2Ops, c, k)
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _msm_g2_jit(scalar_groups, point_groups, c, k, precompute=1):
+    return msm_device_grouped(
+        list(scalar_groups), list(point_groups), jc.Fq2Ops, c, k,
+        precompute=precompute,
+    )
 
 
 # out-of-core threshold: beyond this many concatenated lanes the MSM

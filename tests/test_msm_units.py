@@ -95,3 +95,28 @@ def test_choose_c_monotone_in_total():
     assert msm_ops.choose_c(1 << 12) <= msm_ops.choose_c(1 << 22)
     # grouped call with the same total but more groups never raises c
     assert msm_ops.choose_c(1 << 19, groups=4) <= msm_ops.choose_c(1 << 19, groups=1)
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_precompute_factor_matches_oracle(pts64, factor):
+    """precompute_bases + merged windows == plain MSM (reference
+    precompute_factor semantics, icicle-core msm/mod.rs:175-190)."""
+    x, y, aff = pts64
+    rng = np.random.default_rng(17)
+    vals = [int(v) % R_MOD for v in rng.integers(0, 1 << 63, size=64, dtype=np.uint64)]
+    vals[3] = 0
+    sc = lb.ints_to_limbs_np(vals)
+    c = 8
+    pre = msm_ops.precompute_bases((x, y), jc.FqOps, c=c, factor=factor)
+    assert pre[0].shape[-1] == 64 * factor
+    ws = msm_ops.msm_device_grouped(
+        [sc], [pre], jc.FqOps, c=c, k=8, precompute=factor
+    )
+    n_w = np.asarray(ws[0]).shape[-1]
+    assert n_w == -(-(-(-256 // c)) // factor)
+    pts = [_host_point(ws, 0, w) for w in range(n_w)]
+    got = msm_ops.horner_combine(pts, c)
+    exp = rcv.G1_ZERO
+    for v, a in zip(vals, aff):
+        exp = rcv.g1_add(exp, rcv.g1_mul(rcv.g1_from_affine(a), v))
+    assert rcv.g1_eq(got, exp)
