@@ -496,12 +496,16 @@ def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
             )
         points.append(cat)
     points = tuple(points)
-    # row-major payload view for the per-window gather, built ONCE:
-    # (total, R) with R = all coordinate rows concatenated
+    return _windows_pipeline(points, keys, negs, ops, c, k, n_groups, signed)
+
+
+def _windows_pipeline(points, keys, negs, ops, c, k, n_groups, signed):
+    """Scan all windows: points (coords..., total), keys (W, total),
+    negs (W, total) bool or None -> stacked (3, coords..., G, W)."""
+    # row-major payload view for the per-window gather, built ONCE
     rows_t = jnp.transpose(
         jnp.concatenate([a.reshape(-1, a.shape[-1]) for a in points], axis=0)
     )
-
     if signed:
         def body(_, kw):
             keys_w, neg_w = kw
@@ -517,6 +521,30 @@ def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
         _, stacked = jax.lax.scan(body, None, keys)
     # stacked: (W, 3, coords..., G) -> one array (3, coords..., G, W)
     return jnp.moveaxis(stacked, 0, -1)
+
+
+def msm_device_grouped_sliced(scalars, group_ids, points, ops, c: int,
+                              k: int, n_groups: int, signed: bool = True):
+    """One fixed-shape slice of a group-CONCATENATED MSM.
+
+    scalars (16, L) raw integer limbs, group_ids (L,) int32 in
+    [0, n_groups] (n_groups = pad sentinel, sorts past every real
+    bucket), points (coords..., L). Returns stacked window sums
+    (3, coords..., G, W); groups with no lanes in this slice contribute
+    exact identities (every bucket empty -> telescoped sum cancels).
+
+    This is the out-of-core formulation (reference: multi_chunked_msm,
+    cuda_msm.cuh:1256-1395): the caller accumulates slice sums window-
+    wise, so all slices share ONE compiled pipeline and no group pads
+    to a slice boundary on its own.
+    """
+    n_buckets = (1 << (c - 1)) + 1 if signed else 1 << c
+    if signed:
+        digs, negs = window_digits_signed(scalars, c)
+    else:
+        digs, negs = window_digits(scalars, c), None
+    keys = digs.astype(jnp.int32) + group_ids[None, :] * jnp.int32(n_buckets)
+    return _windows_pipeline(points, keys, negs, ops, c, k, n_groups, signed)
 
 
 # ------------------------------------------------------------------ host side
@@ -614,36 +642,82 @@ def _pad_lanes(arr, size):
     )
 
 
-def _msm_windows_chunked(scalars, points, c, k, g2: bool, max_lanes: int):
-    """Window sums of one big MSM via fixed-shape slices; every slice
-    pads to max_lanes (zero scalars / infinity points are exact no-ops)
-    so all slices share ONE compiled pipeline."""
-    jit_fn = _msm_g2_jit if g2 else _msm_g1_jit
-    n = scalars.shape[-1]
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _msm_g1_sliced_jit(scalars, gids, points, c, k, n_groups):
+    return msm_device_grouped_sliced(scalars, gids, points, jc.FqOps, c, k, n_groups)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _msm_g2_sliced_jit(scalars, gids, points, c, k, n_groups):
+    return msm_device_grouped_sliced(scalars, gids, points, jc.Fq2Ops, c, k, n_groups)
+
+
+def msm_windows_sliced(groups, c, k, g2: bool, max_lanes: int):
+    """Out-of-core GROUPED window sums: the concatenation of all
+    (scalars, points) groups is cut into fixed max_lanes slices (group
+    boundaries may fall inside a slice — group-id keys keep the buckets
+    separate), and per-window sums accumulate across slices in fixed
+    order (deterministic). One compiled pipeline for every slice; no
+    per-group padding waste. Returns stacked (3, coords..., G, W)."""
+    n_groups = len(groups)
+    total = sum(s.shape[-1] for s, _ in groups)
+    n_slices = -(-total // max_lanes)
+    padded = n_slices * max_lanes
+    pad = padded - total
+
+    sc = jnp.concatenate(
+        [s for s, _ in groups]
+        + ([jnp.zeros((groups[0][0].shape[0], pad), lb.U32)] if pad else []),
+        axis=-1,
+    )
+    gid = jnp.concatenate(
+        [
+            jnp.full((s.shape[-1],), g, jnp.int32)
+            for g, (s, _) in enumerate(groups)
+        ]
+        + ([jnp.full((pad,), n_groups, jnp.int32)] if pad else [])
+    )
+    ncoords = len(groups[0][1])
+    pts = []
+    for i in range(ncoords):
+        cat = jnp.concatenate([pg[i] for _, pg in groups], axis=-1)
+        if pad:
+            cat = jnp.concatenate(
+                [cat, jnp.zeros(cat.shape[:-1] + (pad,), cat.dtype)], axis=-1
+            )
+        pts.append(cat)
+    pts = tuple(pts)
+
+    jit_fn = _msm_g2_sliced_jit if g2 else _msm_g1_sliced_jit
     acc = None
-    for s in range(0, n, max_lanes):
-        e = min(n, s + max_lanes)
-        sl_sc = _pad_lanes(scalars[..., s:e], max_lanes)
-        sl_pts = tuple(_pad_lanes(a[..., s:e], max_lanes) for a in points)
-        ws = jit_fn((sl_sc,), (sl_pts,), c, k)  # (coords..., 1, W)
+    for s in range(n_slices):
+        lo = s * max_lanes
+        sl_sc = sc[..., lo : lo + max_lanes]
+        sl_gid = gid[lo : lo + max_lanes]
+        sl_pts = tuple(a[..., lo : lo + max_lanes] for a in pts)
+        ws = jit_fn(sl_sc, sl_gid, sl_pts, c, k, n_groups)
         acc = ws if acc is None else _acc_windows(g2, acc, ws)
-    return acc  # (coords..., 1, W)
+    return acc  # (3, coords..., G, W)
+
+
+def _msm_windows_chunked(scalars, points, c, k, g2: bool, max_lanes: int):
+    """Single-group out-of-core window sums (sliced-grouped with G=1)."""
+    return msm_windows_sliced([(scalars, points)], c, k, g2, max_lanes)
 
 
 def msm_g1_many(groups, c: int | None = None, k: int = 32) -> list:
     """Batched G1 MSMs: groups = [(scalars (16,n_i), (x, y)), ...].
     Returns a list of host projective points (ints, standard form)."""
     total = sum(s.shape[-1] for s, _ in groups)
-    c = c or choose_c(total, groups=len(groups))
+    # c is tuned to the lanes one pipeline instance actually processes
+    # (a slice, when out of core)
+    c = c or choose_c(min(total, MSM_MAX_LANES), groups=len(groups))
     if total > MSM_MAX_LANES:
-        out = []
-        for scalars, points in groups:
-            ws = _msm_windows_chunked(scalars, points, c, k, False, MSM_MAX_LANES)
-            out.append(horner_combine(window_points_to_host_g1(ws, 0), c))
-        return out
-    wsums = np.asarray(_msm_g1_jit(
-        tuple(s for s, _ in groups), tuple(p for _, p in groups), c, k
-    ))  # one bulk fetch for all groups
+        wsums = np.asarray(msm_windows_sliced(groups, c, k, False, MSM_MAX_LANES))
+    else:
+        wsums = np.asarray(_msm_g1_jit(
+            tuple(s for s, _ in groups), tuple(p for _, p in groups), c, k
+        ))  # one bulk fetch for all groups
     return [
         horner_combine(window_points_to_host_g1(wsums, g), c)
         for g in range(len(groups))
@@ -659,14 +733,14 @@ def msm_g1(scalars, points_affine, c: int | None = None, k: int = 32):
 
 def msm_g2(scalars, points_affine, c: int | None = None, k: int = 32):
     n = scalars.shape[-1]
-    c = c or choose_c(n)
+    c = c or choose_c(min(n, MSM_MAX_LANES // 2))
     if n > MSM_MAX_LANES // 2:
-        ws = _msm_windows_chunked(
-            scalars, points_affine, c, k, True, MSM_MAX_LANES // 2
+        ws = msm_windows_sliced(
+            [(scalars, points_affine)], c, k, True, MSM_MAX_LANES // 2
         )
-        return horner_combine(window_points_to_host_g2(ws, 0), c, g2=True)
+        return horner_combine(window_points_to_host_g2(np.asarray(ws), 0), c, g2=True)
     wsums = _msm_g2_jit((scalars,), (points_affine,), c, k)
-    return horner_combine(window_points_to_host_g2(wsums, 0), c, g2=True)
+    return horner_combine(window_points_to_host_g2(np.asarray(wsums), 0), c, g2=True)
 
 
 # back-compat aliases used by the parallel layer

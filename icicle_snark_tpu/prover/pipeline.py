@@ -143,24 +143,32 @@ def groth16_commitments(witness, h_scalars, cache: ZKeyCache):
     ]
     total = sum(s.shape[-1] for s, _ in groups)
     n2 = witness.shape[-1]
-    if total > msm_ops.MSM_MAX_LANES or n2 > msm_ops.MSM_MAX_LANES // 2:
-        # out-of-core path: sliced MSMs, sequential
-        pi_a, pi_b1, pi_c, pi_h = msm_ops.msm_g1_many(groups)
-        pi_b = msm_ops.msm_g2(witness, cache.points_b2)
-        return pi_a, pi_b1, pi_b, pi_c, pi_h
-
-    # in-core: dispatch BOTH pipelines before fetching either, so the
-    # G2 MSM executes on device while the host fetches G1 window sums
-    # and runs the Horner ladders (the role of the reference's second
-    # CUDA stream, proof_helper.rs:191-206)
-    c = msm_ops.choose_c(total, groups=len(groups))
-    ws1 = msm_ops._msm_g1_jit(
-        tuple(s for s, _ in groups), tuple(p for _, p in groups), c, 32
+    c = msm_ops.choose_c(
+        min(total, msm_ops.MSM_MAX_LANES), groups=len(groups)
     )
-    ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c, 32)
-    # ONE bulk D2H fetch per pipeline (single stacked output buffer);
-    # the G1 Horner ladders run on host while the G2 MSM is still
-    # executing on device
+
+    # dispatch BOTH pipelines before fetching either, so the G2 MSM
+    # executes on device while the host fetches G1 window sums and runs
+    # the Horner ladders (the role of the reference's second CUDA
+    # stream, proof_helper.rs:191-206). Out of core, the same applies
+    # to the final G2 slices.
+    if total > msm_ops.MSM_MAX_LANES:
+        ws1 = msm_ops.msm_windows_sliced(
+            groups, c, 32, False, msm_ops.MSM_MAX_LANES
+        )
+    else:
+        ws1 = msm_ops._msm_g1_jit(
+            tuple(s for s, _ in groups), tuple(p for _, p in groups), c, 32
+        )
+    if n2 > msm_ops.MSM_MAX_LANES // 2:
+        ws2 = msm_ops.msm_windows_sliced(
+            [(witness, cache.points_b2)], c, 32, True,
+            msm_ops.MSM_MAX_LANES // 2,
+        )
+    else:
+        ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c, 32)
+
+    # ONE bulk D2H fetch per pipeline (single stacked output buffer)
     ws1_np = np.asarray(ws1)
     pi_a, pi_b1, pi_c, pi_h = (
         msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws1_np, g), c)
