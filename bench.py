@@ -108,6 +108,30 @@ def ensure_rsa_fixture() -> tuple:
     return zkey, vk, wtns
 
 
+def ensure_rsa_sha256_fixture() -> tuple:
+    """RSA+SHA256 composite (the anon_aadhaar SignatureVerifier core)."""
+    from icicle_snark_tpu.io.wtns import write_wtns
+    from icicle_snark_tpu.setup.fast_setup import groth16_setup_device
+    from icicle_snark_tpu.setup.rsa_circuit import (
+        rsa_sha256_test_vector,
+        rsa_sha256_verify_circuit,
+    )
+
+    d = os.path.join(FIXTURE_DIR, "rsa_sha256")
+    zkey = os.path.join(d, "circuit_final.zkey")
+    vk = os.path.join(d, "verification_key.json")
+    wtns = os.path.join(d, "witness.wtns")
+    if not (os.path.exists(zkey) and os.path.exists(wtns) and os.path.exists(vk)):
+        os.makedirs(d, exist_ok=True)
+        log("generating fixture rsa_sha256 (one-time, device-backed)...")
+        t0 = time.time()
+        r1cs, witness = rsa_sha256_verify_circuit(*rsa_sha256_test_vector())
+        groth16_setup_device(r1cs, zkey, vk)
+        write_wtns(wtns, witness)
+        log(f"fixture ready in {time.time() - t0:.1f}s")
+    return zkey, vk, wtns
+
+
 def ensure_sha256_fixture() -> tuple:
     """Sha256(512)-equivalent circuit fixture (reference benchmark/sha256)."""
     from icicle_snark_tpu.io.wtns import write_wtns
@@ -148,6 +172,9 @@ def main():
     elif circuit == "rsa":
         zkey, vk, wtns = ensure_rsa_fixture()
         metric_name = "groth16_prove_rsa_warm"
+    elif circuit == "rsa_sha256":
+        zkey, vk, wtns = ensure_rsa_sha256_fixture()
+        metric_name = "groth16_prove_rsa_sha256_warm"
     else:
         zkey, vk, wtns = ensure_fixture(n_constraints)
         metric_name = f"groth16_prove_complex{n_constraints // 1000}k_warm"

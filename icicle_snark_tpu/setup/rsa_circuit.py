@@ -243,44 +243,28 @@ def _big_less_than(bld: Builder, a: Big, b: Big) -> Bit:
     return res
 
 
-def rsa_verify_circuit(signature: int, modulus: int, base_message: int) -> tuple:
-    """RSAVerify65537(64, 32): check signature^65537 == pkcs1v15(sha1)
-    under `modulus`. Public signals = the 32 modulus limbs. Returns
-    (R1CS, witness); the structure is input-independent."""
-    bld = Builder(n_public=K)
-
-    mod = _alloc_limbs(
-        bld, _split_limbs(modulus), range_check=False,
-        sigs=list(range(1, K + 1)),
-    )
-    sig = _alloc_limbs(bld, _split_limbs(signature))  # includes range check
-    msg = _alloc_limbs(bld, _split_limbs(base_message), range_check=False)
-
-    # ---- RSAPad (rsa.circom): bit-level PKCS#1 v1.5 layout
-    msg_bits, mod_bits = [], []
+def _rsa_verify_core(bld: Builder, sig: Big, mod: Big, em_low_bits: list,
+                     msg_len: int, base_len: int, prefix: int):
+    """Shared PKCS#1 v1.5 verification tail: pad layout + range check +
+    sig^65537 == EM. em_low_bits = the msg_len low bits of the encoded
+    message (LSB first)."""
+    mod_bits = []
     for i in range(K):
-        msg_bits += [
-            Bit({s: 1}, (msg.ints[i] >> j) & 1)
-            for j, s in enumerate(_num2bits(bld, msg.lcs[i], msg.ints[i], N_BITS))
-        ]
         mod_bits += [
             Bit({s: 1}, (mod.ints[i] >> j) & 1)
             for j, s in enumerate(_num2bits(bld, mod.lcs[i], mod.ints[i], N_BITS))
         ]
     nk = N_BITS * K
-    for i in range(_MSG_LEN, nk):  # message is exactly 160 bits
-        bld.constrain(msg_bits[i].lc, {0: 1}, {})
-        assert msg_bits[i].val == 0
     padded = [None] * nk
-    for i in range(_MSG_LEN):
-        padded[i] = msg_bits[i]
-    for i in range(_MSG_LEN, _BASE_LEN):
-        padded[i] = _const_bit((_SHA1_PREFIX >> (i - _MSG_LEN)) & 1)
-    for i in range(_BASE_LEN, _BASE_LEN + 8):
+    for i in range(msg_len):
+        padded[i] = em_low_bits[i]
+    for i in range(msg_len, base_len):
+        padded[i] = _const_bit((prefix >> (i - msg_len)) & 1)
+    for i in range(base_len, base_len + 8):
         padded[i] = _const_bit(0)
     # 0xff run sized by the modulus bit-length (modulus_prefix loop)
     prefix_lc, prefix_v = {}, 0
-    for i in range(nk - 1, _BASE_LEN + 7, -1):
+    for i in range(nk - 1, base_len + 7, -1):
         if i + 8 < nk:
             prefix_lc = _lc_add(prefix_lc, mod_bits[i + 8].lc)
             prefix_v += mod_bits[i + 8].val
@@ -291,7 +275,7 @@ def rsa_verify_circuit(signature: int, modulus: int, base_message: int) -> tuple
                 padded[i] = padded[i + 1]
         else:
             padded[i] = _const_bit(0)
-    for i in range(_BASE_LEN + 8, _BASE_LEN + 8 + 65):
+    for i in range(base_len + 8, base_len + 8 + 65):
         # at least 8 octets of 0xff guaranteed by the RFC
         bld.constrain(_lc_add(padded[i].lc, {0: R_MOD - 1}), {0: 1}, {})
         assert padded[i].val == 1, "modulus too short for PKCS#1 padding"
@@ -324,6 +308,78 @@ def rsa_verify_circuit(signature: int, modulus: int, base_message: int) -> tuple
             {0: 1}, {},
         )
         assert acc.ints[i] == padded_limbs.ints[i], "signature invalid"
+
+
+def rsa_verify_circuit(signature: int, modulus: int, base_message: int) -> tuple:
+    """RSAVerify65537(64, 32): check signature^65537 == pkcs1v15(sha1)
+    under `modulus`. Public signals = the 32 modulus limbs. Returns
+    (R1CS, witness); the structure is input-independent."""
+    bld = Builder(n_public=K)
+
+    mod = _alloc_limbs(
+        bld, _split_limbs(modulus), range_check=False,
+        sigs=list(range(1, K + 1)),
+    )
+    sig = _alloc_limbs(bld, _split_limbs(signature))  # includes range check
+    msg = _alloc_limbs(bld, _split_limbs(base_message), range_check=False)
+
+    msg_bits = []
+    for i in range(K):
+        msg_bits += [
+            Bit({s: 1}, (msg.ints[i] >> j) & 1)
+            for j, s in enumerate(_num2bits(bld, msg.lcs[i], msg.ints[i], N_BITS))
+        ]
+    nk = N_BITS * K
+    for i in range(_MSG_LEN, nk):  # message is exactly 160 bits
+        bld.constrain(msg_bits[i].lc, {0: 1}, {})
+        assert msg_bits[i].val == 0
+
+    _rsa_verify_core(bld, sig, mod, msg_bits[:_MSG_LEN], _MSG_LEN, _BASE_LEN, _SHA1_PREFIX)
+
+    r1cs = R1CS(n_vars=len(bld.values), n_public=K)
+    r1cs.constraints = bld.constraints
+    assert all(v is not None for v in bld.values)
+    return r1cs, bld.values
+
+
+# SHA-256 DigestInfo prefix (19 bytes) for the rsa+sha256 composite
+_SHA256_PREFIX = 0x3031300D060960864801650304020105000420
+_SHA256_MSG_LEN = 256
+_SHA256_BASE_LEN = _SHA256_MSG_LEN + 19 * 8
+
+
+def rsa_sha256_verify_circuit(message: bytes, signature: int, modulus: int) -> tuple:
+    """The anon_aadhaar SignatureVerifier core
+    (/root/reference/benchmark/anon_aadhaar/helpers/signature.circom:
+    Sha256 of the message IN-CIRCUIT feeding RSAVerify65537): verify a
+    PKCS#1 v1.5 SHA-256 signature of a 64-byte message. Public signals
+    = the 32 modulus limbs. Returns (R1CS, witness)."""
+    assert len(message) == 64
+    bld = Builder(n_public=K)
+
+    mod = _alloc_limbs(
+        bld, _split_limbs(modulus), range_check=False,
+        sigs=list(range(1, K + 1)),
+    )
+    sig = _alloc_limbs(bld, _split_limbs(signature))
+
+    from .sha256_circuit import sha256_512_gadget
+
+    in_bits = []
+    for i in range(512):
+        v = (message[i // 8] >> (7 - i % 8)) & 1
+        s = bld.bool_sig(v)
+        in_bits.append(Bit({s: 1}, v))
+    digest = sha256_512_gadget(bld, in_bits)  # 256 Bits, MSB-first stream
+
+    # EM integer bit i (LSB first) = bit (i%8) of digest byte 31-i//8;
+    # digest stream bit j = bit 7-(j%8) of byte j//8
+    em_low = [
+        digest[8 * (31 - i // 8) + 7 - (i % 8)] for i in range(_SHA256_MSG_LEN)
+    ]
+    _rsa_verify_core(
+        bld, sig, mod, em_low, _SHA256_MSG_LEN, _SHA256_BASE_LEN, _SHA256_PREFIX
+    )
 
     r1cs = R1CS(n_vars=len(bld.values), n_public=K)
     r1cs.constraints = bld.constraints
@@ -397,3 +453,21 @@ def rsa_test_vector(message: bytes = b"icicle-snark-tpu rsa benchmark"):
         padded |= 1 << i
     signature = pow(padded, d, n)
     return signature, n, h
+
+
+def rsa_sha256_test_vector(message: bytes = bytes(range(64))):
+    """Deterministic keypair + PKCS#1 v1.5 SHA-256 signature of a
+    64-byte message. Returns (message, signature, modulus)."""
+    assert len(message) == 64
+    p = _gen_prime(1024, 1)
+    q = _gen_prime(1024, 2)
+    n = p * q
+    d = pow(E, -1, (p - 1) * (q - 1))
+    digest = hashlib.sha256(message).digest()
+    h = int.from_bytes(digest, "big")  # big-endian: D[31] least significant
+    padded = h | (_SHA256_PREFIX << _SHA256_MSG_LEN)
+    nbits = n.bit_length()
+    for i in range(_SHA256_BASE_LEN + 8, nbits - 15):
+        padded |= 1 << i
+    signature = pow(padded, d, n)
+    return message, signature, n

@@ -252,6 +252,34 @@ def _compress(bld: Builder, state: list, block: list, digest_sigs=None) -> list:
     return fed
 
 
+def sha256_512_gadget(bld: Builder, in_bits: list, digest_sigs=None) -> list:
+    """SHA-256 of a 512-bit message (two blocks, in-circuit padding) as
+    a reusable gadget: in_bits = 512 Bits (MSB-first bit stream),
+    returns the 256 digest Bits in the same MSB-first order
+    (digest bit j = bit 7-(j%8) of digest byte j//8). digest_sigs
+    optionally binds the output to pre-allocated signals (8 lists of 32
+    LSB-first signal ids)."""
+    assert len(in_bits) == 512
+
+    def word(bits_msb: list) -> list:
+        # bits_msb[0] is the word's MSB; internal layout is LSB-first
+        return list(reversed(bits_msb))
+
+    block1 = [word(in_bits[i * 32 : (i + 1) * 32]) for i in range(16)]
+    pad = [_const_bit(0)] * 512
+    pad[0] = _const_bit(1)  # 0x80 after the message
+    block2 = [word(pad[i * 32 : (i + 1) * 32]) for i in range(16)]
+    block2[15] = _const_word(512)  # big-endian length
+
+    state = [_const_word(v) for v in _IV]
+    state = _compress(bld, state, block1)
+    state = _compress(bld, state, block2, digest_sigs=digest_sigs)
+    out = []
+    for w in state:  # LSB-first word bits -> MSB-first stream
+        out.extend(reversed(w))
+    return out
+
+
 def sha256_512_circuit(message_bits: list) -> tuple:
     """Sha256(512) equivalent: 512 private input bits -> 256 public
     digest bits (MSB-first within each 32-bit word, like circomlib's
@@ -271,26 +299,12 @@ def sha256_512_circuit(message_bits: list) -> tuple:
         sig = bld.bool_sig(v)
         in_bits.append(Bit({sig: 1}, v))
 
-    # two blocks: 512 message bits, then padding block 0x80...||len=512
-    def word(bits_msb: list) -> list:
-        # bits_msb[0] is the word's MSB; internal layout is LSB-first
-        return list(reversed(bits_msb))
-
-    block1 = [word(in_bits[i * 32 : (i + 1) * 32]) for i in range(16)]
-    pad = [_const_bit(0)] * 512
-    pad[0] = _const_bit(1)  # 0x80 after the message
-    block2 = [word(pad[i * 32 : (i + 1) * 32]) for i in range(16)]
-    block2[15] = _const_word(512)  # big-endian length
-
     # public digest signals: out[j] for j in 0..255, word i bit k (MSB
     # first) at public signal 1 + i*32 + k; add32 wants LSB-first ids
     digest_sigs = [
         [1 + i * 32 + (31 - k) for k in range(32)] for i in range(8)
     ]
-
-    state = [_const_word(v) for v in _IV]
-    state = _compress(bld, state, block1)
-    state = _compress(bld, state, block2, digest_sigs=digest_sigs)
+    sha256_512_gadget(bld, in_bits, digest_sigs=digest_sigs)
 
     r1cs = R1CS(n_vars=len(bld.values), n_public=256)
     r1cs.constraints = bld.constraints

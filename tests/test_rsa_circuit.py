@@ -39,3 +39,19 @@ def test_invalid_signature_rejected(vector):
     sig, n, h = vector
     with pytest.raises(AssertionError):
         rsa_verify_circuit(sig + 1, n, h)
+
+
+def test_rsa_sha256_composite():
+    """The anon_aadhaar SignatureVerifier core: in-circuit SHA-256
+    feeding PKCS#1 v1.5 RSA verification."""
+    from icicle_snark_tpu.setup.rsa_circuit import (
+        rsa_sha256_test_vector,
+        rsa_sha256_verify_circuit,
+    )
+
+    msg, sig, n = rsa_sha256_test_vector()
+    r1cs, wit = rsa_sha256_verify_circuit(msg, sig, n)
+    assert r1cs.check_witness(wit)
+    assert 180_000 < r1cs.n_constraints < 240_000
+    with pytest.raises(AssertionError):
+        rsa_sha256_verify_circuit(msg, sig + 1, n)
