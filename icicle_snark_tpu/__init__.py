@@ -20,10 +20,21 @@ import os as _os
 # and the remote-TPU (axon) compiler round-trip is slow; caching compiled
 # executables across processes mirrors the warm-cache serving posture of
 # the reference's ZKeyCache (README.md:113).
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", ".jax_cache"),
+#
+# The env var alone is NOT enough in this image: sitecustomize imports
+# jax at interpreter startup (before any of our code runs), and jax
+# snapshots the env into its config at import. Set the config
+# explicitly — it takes effect lazily at first compile.
+_CACHE_DIR = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.abspath(
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", ".jax_cache")
 )
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax as _jax
+
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .prover.api import groth16_prove, groth16_verify, CacheManager  # noqa: F401

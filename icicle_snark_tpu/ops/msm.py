@@ -652,51 +652,68 @@ def _msm_g2_sliced_jit(scalars, gids, points, c, k, n_groups):
     return msm_device_grouped_sliced(scalars, gids, points, jc.Fq2Ops, c, k, n_groups)
 
 
+def _slice_concat(arrays, lo: int, hi: int, pad_shape_of=None):
+    """The [lo, hi) window of the VIRTUAL concatenation of `arrays`
+    along the last axis, zero-padded to width hi-lo. Materializes only
+    one slice-sized array (never the full concatenation)."""
+    pieces, pos = [], 0
+    for arr in arrays:
+        n = arr.shape[-1]
+        s, e = max(lo - pos, 0), min(hi - pos, n)
+        if s < e:
+            pieces.append(arr[..., s:e])
+        pos += n
+    width = sum(p.shape[-1] for p in pieces)
+    pad = (hi - lo) - width
+    if pad:
+        ref = pieces[0] if pieces else arrays[0]
+        pieces.append(jnp.zeros(ref.shape[:-1] + (pad,), ref.dtype))
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=-1)
+
+
 def msm_windows_sliced(groups, c, k, g2: bool, max_lanes: int):
-    """Out-of-core GROUPED window sums: the concatenation of all
-    (scalars, points) groups is cut into fixed max_lanes slices (group
-    boundaries may fall inside a slice — group-id keys keep the buckets
-    separate), and per-window sums accumulate across slices in fixed
-    order (deterministic). One compiled pipeline for every slice; no
-    per-group padding waste. Returns stacked (3, coords..., G, W)."""
+    """Out-of-core GROUPED window sums: the virtual concatenation of
+    all (scalars, points) groups is cut into fixed max_lanes slices
+    (group boundaries may fall inside a slice — group-id keys keep the
+    buckets separate), and per-window sums accumulate across slices in
+    fixed order (deterministic). One compiled pipeline for every slice,
+    no per-group padding waste, and HBM holds at most ONE slice of
+    assembled copies at a time (the memory-planner role of the
+    reference's multi_chunked_msm, cuda_msm.cuh:1131-1395).
+    Returns stacked (3, coords..., G, W)."""
     n_groups = len(groups)
     total = sum(s.shape[-1] for s, _ in groups)
     n_slices = -(-total // max_lanes)
-    padded = n_slices * max_lanes
-    pad = padded - total
+    sizes = [s.shape[-1] for s, _ in groups]
 
-    sc = jnp.concatenate(
-        [s for s, _ in groups]
-        + ([jnp.zeros((groups[0][0].shape[0], pad), lb.U32)] if pad else []),
-        axis=-1,
+    # group ids are static per layout: numpy, sliced per window
+    gid_np = np.concatenate(
+        [np.full(n, g, np.int32) for g, n in enumerate(sizes)]
+        + [np.full(n_slices * max_lanes - total, n_groups, np.int32)]
     )
-    gid = jnp.concatenate(
-        [
-            jnp.full((s.shape[-1],), g, jnp.int32)
-            for g, (s, _) in enumerate(groups)
-        ]
-        + ([jnp.full((pad,), n_groups, jnp.int32)] if pad else [])
-    )
+
+    scal = [s for s, _ in groups]
     ncoords = len(groups[0][1])
-    pts = []
-    for i in range(ncoords):
-        cat = jnp.concatenate([pg[i] for _, pg in groups], axis=-1)
-        if pad:
-            cat = jnp.concatenate(
-                [cat, jnp.zeros(cat.shape[:-1] + (pad,), cat.dtype)], axis=-1
-            )
-        pts.append(cat)
-    pts = tuple(pts)
+    coord_sets = [[pg[i] for _, pg in groups] for i in range(ncoords)]
 
     jit_fn = _msm_g2_sliced_jit if g2 else _msm_g1_sliced_jit
     acc = None
     for s in range(n_slices):
-        lo = s * max_lanes
-        sl_sc = sc[..., lo : lo + max_lanes]
-        sl_gid = gid[lo : lo + max_lanes]
-        sl_pts = tuple(a[..., lo : lo + max_lanes] for a in pts)
+        lo, hi = s * max_lanes, (s + 1) * max_lanes
+        sl_sc = _slice_concat(scal, lo, hi)
+        sl_gid = jnp.asarray(gid_np[lo:hi])
+        sl_pts = tuple(_slice_concat(cs, lo, hi) for cs in coord_sets)
         ws = jit_fn(sl_sc, sl_gid, sl_pts, c, k, n_groups)
         acc = ws if acc is None else _acc_windows(g2, acc, ws)
+        del sl_sc, sl_pts, ws
+        if s < n_slices - 1:
+            # force execution so XLA frees this slice's assembled
+            # copies before the next is staged — async dispatch would
+            # otherwise hold EVERY slice's inputs in HBM at once (the
+            # 3.2M OOM). Tiny fetch: block_until_ready does not block
+            # over the remote-TPU tunnel. The LAST slice stays async so
+            # the caller's next pipeline (e.g. G2) can overlap it.
+            np.asarray(jax.device_get(acc[0].ravel()[:1]))
     return acc  # (3, coords..., G, W)
 
 

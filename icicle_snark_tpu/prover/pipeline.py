@@ -29,6 +29,7 @@ Montgomery bookkeeping (R = 2^256, the snarkjs on-disk radix):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -110,17 +111,87 @@ def _construct_r1cs_jit(
     return lb.mont_mul(h_raw, r2, FR_SPEC)
 
 
+# Above this domain power the one-shot graph's temp memory exceeds HBM
+# (measured 12.96 GB at 2^22: the unrolled NTT stages' chunked muls
+# defeat XLA buffer reuse), so the computation runs as per-polynomial
+# staged jits with a forcing sync between them.
+SPLIT_NTT_POWER = int(os.environ.get("ISTPU_SPLIT_NTT_POWER", "22"))
+
+
+def _force(x):
+    # block_until_ready does not block over the remote-TPU tunnel
+    np.asarray(jax.device_get(x.ravel()[:1]))
+
+
+@partial(jax.jit, static_argnames=("num_segments", "nseg2", "log_n"))
+def _r1cs_eval_jit(witness, coefs, witness_idx, segments, num_segments,
+                   seg2, nseg2, log_n):
+    n = 1 << log_n
+    wit_g = jnp.take(witness, witness_idx, axis=1)
+    prod = lb.mont_mul(coefs, wit_g, FR_SPEC)
+    level2 = ((seg2, nseg2) if seg2 is not None else None)
+    ab = _segment_reduce(prod, segments, num_segments, level2)
+    a_vals = ab[:, :n]
+    b_vals = ab[:, n : 2 * n]
+    if level2 is not None:
+        a_vals = lb.to_mont(a_vals, FR_SPEC)
+        b_vals = lb.to_mont(b_vals, FR_SPEC)
+    return a_vals, b_vals
+
+
+@jax.jit
+def _mul_jit(a, b):
+    return lb.mont_mul(a, b, FR_SPEC)
+
+
+@jax.jit
+def _coset_eval_jit(vals, keys_bitrev, tw_fwd, tw_inv, n_inv_mont):
+    """One polynomial: INTT -> coset key powers -> NTT (batch=1)."""
+    coeffs_br = ntt_ops.intt_dif(vals[:, None, :], tw_inv, n_inv_mont)
+    shifted = lb.mont_mul(coeffs_br, keys_bitrev[:, None, :], FR_SPEC)
+    return ntt_ops.ntt_dit(shifted, tw_fwd)[:, 0]
+
+
+@jax.jit
+def _h_from_odd_jit(odd_a, odd_b, odd_c):
+    h_raw = lb.sub_mod(lb.mont_mul(odd_a, odd_b, FR_SPEC), odd_c, FR_SPEC)
+    r2 = lb.const_limbs(_R2_FR, (1,))
+    return lb.mont_mul(h_raw, r2, FR_SPEC)
+
+
 def construct_r1cs(witness, cache: ZKeyCache):
     """Device h-scalar computation (reference: construct_r1cs,
     proof_helper.rs:31-170)."""
     plan = cache.plan
     dom = ntt_ops.get_domain(cache.header.power)
     seg2, nseg2 = (plan.level2 if plan.level2 is not None else (None, 0))
-    return _construct_r1cs_jit(
-        witness, plan.coefs, plan.witness_idx, plan.segments, plan.num_segments,
-        seg2, nseg2, cache.keys_bitrev, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont,
-        cache.header.power,
+    if cache.header.power < SPLIT_NTT_POWER:
+        return _construct_r1cs_jit(
+            witness, plan.coefs, plan.witness_idx, plan.segments, plan.num_segments,
+            seg2, nseg2, cache.keys_bitrev, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont,
+            cache.header.power,
+        )
+    # large domains: stage the phases, forcing between them so each
+    # graph's temp buffers are freed before the next launches
+    a_vals, b_vals = _r1cs_eval_jit(
+        witness, plan.coefs, plan.witness_idx, plan.segments,
+        plan.num_segments, seg2, nseg2, cache.header.power,
     )
+    _force(b_vals)
+    c_vals = _mul_jit(a_vals, b_vals)
+    odd_a = _coset_eval_jit(
+        a_vals, cache.keys_bitrev, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont
+    )
+    _force(odd_a)
+    odd_b = _coset_eval_jit(
+        b_vals, cache.keys_bitrev, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont
+    )
+    _force(odd_b)
+    odd_c = _coset_eval_jit(
+        c_vals, cache.keys_bitrev, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont
+    )
+    _force(odd_c)
+    return _h_from_odd_jit(odd_a, odd_b, odd_c)
 
 
 def groth16_commitments(witness, h_scalars, cache: ZKeyCache):
@@ -153,6 +224,11 @@ def groth16_commitments(witness, h_scalars, cache: ZKeyCache):
     # stream, proof_helper.rs:191-206). Out of core, the same applies
     # to the final G2 slices.
     if total > msm_ops.MSM_MAX_LANES:
+        # complete the R1CS/NTT chain before staging MSM slices so its
+        # multi-GB 2^22-domain transients are freed first (out-of-core
+        # HBM headroom; tiny forcing fetch — block_until_ready does not
+        # block over the remote-TPU tunnel)
+        np.asarray(jax.device_get(h_scalars.ravel()[:1]))
         ws1 = msm_ops.msm_windows_sliced(
             groups, c, 32, False, msm_ops.MSM_MAX_LANES
         )

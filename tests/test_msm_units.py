@@ -120,3 +120,28 @@ def test_precompute_factor_matches_oracle(pts64, factor):
     for v, a in zip(vals, aff):
         exp = rcv.g1_add(exp, rcv.g1_mul(rcv.g1_from_affine(a), v))
     assert rcv.g1_eq(got, exp)
+
+
+def test_sliced_grouped_matches_direct(pts64):
+    """Out-of-core grouped slicing (group boundaries inside slices) ==
+    the in-core grouped pipeline."""
+    x, y, aff = pts64
+    rng = np.random.default_rng(23)
+    groups = []
+    exps = []
+    for g, n_g in enumerate((40, 64, 24)):
+        vals = [int(v) % R_MOD for v in rng.integers(0, 1 << 62, size=n_g, dtype=np.uint64)]
+        sc = lb.ints_to_limbs_np(vals)
+        pts = (x[:, :n_g], y[:, :n_g])
+        groups.append((sc, pts))
+        e = rcv.G1_ZERO
+        for v, a in zip(vals, aff[:n_g]):
+            e = rcv.g1_add(e, rcv.g1_mul(rcv.g1_from_affine(a), v))
+        exps.append(e)
+    c = 8
+    ws = msm_ops.msm_windows_sliced(groups, c, 8, False, max_lanes=48)
+    ws = np.asarray(ws)
+    for g, exp in enumerate(exps):
+        pts_g = msm_ops.window_points_to_host_g1(ws, g)
+        got = msm_ops.horner_combine(pts_g, c)
+        assert rcv.g1_eq(got, exp), f"group {g}"
