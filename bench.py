@@ -132,6 +132,59 @@ def ensure_rsa_sha256_fixture() -> tuple:
     return zkey, vk, wtns
 
 
+def ensure_aadhaar_fixture() -> tuple:
+    """Full AadhaarVerifier fixture (reference benchmark/anon_aadhaar):
+    dynamic SHA-256 + RSA + QR extractor + Poseidon nullifier."""
+    from icicle_snark_tpu.io.wtns import write_wtns
+    from icicle_snark_tpu.setup.fast_setup import groth16_setup_device
+    from icicle_snark_tpu.setup.aadhaar_circuit import (
+        aadhaar_test_vector,
+        aadhaar_verifier_circuit,
+    )
+
+    max_len = int(os.environ.get("BENCH_AADHAAR_MAXLEN", "1536"))
+    d = os.path.join(FIXTURE_DIR, f"anon_aadhaar_{max_len}")
+    zkey = os.path.join(d, "circuit_final.zkey")
+    vk = os.path.join(d, "verification_key.json")
+    wtns = os.path.join(d, "witness.wtns")
+    if not (os.path.exists(zkey) and os.path.exists(wtns) and os.path.exists(vk)):
+        os.makedirs(d, exist_ok=True)
+        log(f"generating fixture anon_aadhaar_{max_len} (one-time, device-backed)...")
+        t0 = time.time()
+        kwargs, _ = aadhaar_test_vector(max_data_length=max_len)
+        r1cs, witness = aadhaar_verifier_circuit(**kwargs)
+        groth16_setup_device(r1cs, zkey, vk)
+        write_wtns(wtns, witness)
+        log(f"fixture ready in {time.time() - t0:.1f}s")
+    return zkey, vk, wtns
+
+
+def ensure_keyless_fixture() -> tuple:
+    """Aptos-keyless-style JWT fixture (reference benchmark/keyless)."""
+    from icicle_snark_tpu.io.wtns import write_wtns
+    from icicle_snark_tpu.setup.fast_setup import groth16_setup_device
+    from icicle_snark_tpu.setup.keyless_circuit import (
+        keyless_circuit,
+        keyless_test_vector,
+    )
+
+    max_len = int(os.environ.get("BENCH_KEYLESS_MAXLEN", "1024"))
+    d = os.path.join(FIXTURE_DIR, f"keyless_{max_len}")
+    zkey = os.path.join(d, "circuit_final.zkey")
+    vk = os.path.join(d, "verification_key.json")
+    wtns = os.path.join(d, "witness.wtns")
+    if not (os.path.exists(zkey) and os.path.exists(wtns) and os.path.exists(vk)):
+        os.makedirs(d, exist_ok=True)
+        log(f"generating fixture keyless_{max_len} (one-time, device-backed)...")
+        t0 = time.time()
+        kwargs, _ = keyless_test_vector(max_jwt_len=max_len)
+        r1cs, witness = keyless_circuit(**kwargs)
+        groth16_setup_device(r1cs, zkey, vk)
+        write_wtns(wtns, witness)
+        log(f"fixture ready in {time.time() - t0:.1f}s")
+    return zkey, vk, wtns
+
+
 def ensure_sha256_fixture() -> tuple:
     """Sha256(512)-equivalent circuit fixture (reference benchmark/sha256)."""
     from icicle_snark_tpu.io.wtns import write_wtns
@@ -175,6 +228,12 @@ def main():
     elif circuit == "rsa_sha256":
         zkey, vk, wtns = ensure_rsa_sha256_fixture()
         metric_name = "groth16_prove_rsa_sha256_warm"
+    elif circuit == "anon_aadhaar":
+        zkey, vk, wtns = ensure_aadhaar_fixture()
+        metric_name = "groth16_prove_anon_aadhaar_warm"
+    elif circuit == "keyless":
+        zkey, vk, wtns = ensure_keyless_fixture()
+        metric_name = "groth16_prove_keyless_warm"
     else:
         zkey, vk, wtns = ensure_fixture(n_constraints)
         metric_name = f"groth16_prove_complex{n_constraints // 1000}k_warm"
