@@ -68,6 +68,12 @@ def run_worker(stdin=None, stdout=None):
                 return 0
             elif cmd == "prove":
                 f = _parse_flags(rest)
+                if "device" in f:
+                    # route like the reference (src/main.rs:121-186):
+                    # unknown/unavailable devices fail the command loudly
+                    from . import runtime
+
+                    runtime.set_device(f["device"])
                 elapsed = groth16_prove(
                     f["witness"], f["zkey"], f["proof"], f["public"],
                     cache_manager,

@@ -32,8 +32,13 @@ class BinFile:
     """Memory-mapped snarkjs container reader."""
 
     def __init__(self, path: str, expected_type: str, max_version: int = 2):
+        import os
+
         self.path = path
+        if os.path.getsize(path) < 12:
+            raise ValueError(f"{path}: truncated header ({os.path.getsize(path)} bytes)")
         self.data = np.memmap(path, dtype=np.uint8, mode="r")
+        total = self.data.shape[0]
         raw = self.data[:12].tobytes()
         magic = raw[:4].decode("ascii", errors="replace")
         if magic != expected_type:
@@ -44,8 +49,9 @@ class BinFile:
         self.version = version
         self.sections: dict[int, list[Section]] = {}
         pos = 12
-        total = self.data.shape[0]
         for _ in range(n_sections):
+            if pos + 12 > total:
+                raise ValueError(f"{path}: truncated section header at {pos}")
             ht, hl = struct.unpack("<IQ", self.data[pos : pos + 12].tobytes())
             pos += 12
             if pos + hl > total:

@@ -274,10 +274,17 @@ def _chunked_reduce(points, ops, k: int = 32):
 
 
 def _scalar_double_k(point, ops, times: int):
-    """2^times * point via `times` doublings (compile-time count)."""
-    for _ in range(times):
-        point = jc.pdbl(ops, point)
-    return point
+    """2^times * point via `times` doublings — ONE pdbl instance inside
+    a fori_loop (the unrolled chain was a major share of the traced
+    graph: c-1 doublings x ~14 mont_muls each, per MSM pipeline)."""
+    if times == 0:
+        return point
+    stacked = jc.point_stack(point)
+
+    def body(_, s):
+        return jc.point_stack(jc.pdbl(ops, jc.point_unstack(s)))
+
+    return jc.point_unstack(jax.lax.fori_loop(0, times, body, stacked))
 
 
 # kept for the cross-device combine in parallel/msm_shard.py
@@ -418,8 +425,15 @@ def _window_sum_grouped(points, rows_t, keys_w, neg_w, ops, c: int,
     # One boundary query per bucket, one plain reduce — no start
     # queries, no bucket differences, no O(B log B) suffix scans.
     # Cross-group terms cancel exactly (the b=0 coefficient is zero).
-    bucket_ids = jnp.arange(n_groups * n_buckets, dtype=jnp.int32)
-    ends = jnp.searchsorted(k_sorted, bucket_ids, side="right").astype(jnp.int32)
+    # bucket end positions: ends[b] = #keys <= b. A searchsorted here
+    # measured 4.1 ms/window on v5e (dominating the whole bucket
+    # phase); histogram + cumsum does the same in ~0.1 ms.
+    gb = n_groups * n_buckets
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(k_sorted, dtype=jnp.int32), k_sorted,
+        num_segments=gb + 1, indices_are_sorted=True,
+    )
+    ends = jnp.cumsum(counts[:gb]).astype(jnp.int32)
     p_end = tree.query(ends - 1)  # (coords..., G*B)
     p_end = tuple(a.reshape(a.shape[:-1] + (n_groups, n_buckets)) for a in p_end)
 
@@ -741,15 +755,36 @@ def msm_g1_many(groups, c: int | None = None, k: int = 32) -> list:
     ]
 
 
-def msm_g1(scalars, points_affine, c: int | None = None, k: int = 32):
+def _cfg_params(cfg, c, k):
+    """Merge an MSMConfig (reference: MSMConfig, msm/mod.rs:13-73) with
+    direct keyword overrides. Returns (c, k, precompute_factor)."""
+    if cfg is None:
+        return c, k, 1
+    return (c or (cfg.c or None)), (cfg.chunk if k == 32 else k), cfg.precompute_factor
+
+
+def msm_g1(scalars, points_affine, c: int | None = None, k: int = 32, cfg=None):
     """Single G1 MSM. scalars (16,n) uint32 limbs (integer semantics),
-    points (x, y) tuple of (16, n) Montgomery-form coordinate limbs.
-    Returns a host projective point (ints, standard form)."""
+    points (x, y) tuple of (16, n) Montgomery-form coordinate limbs —
+    or (16, n*factor) interleaved precompute_bases output when
+    cfg.precompute_factor > 1. Returns a host projective point (ints,
+    standard form)."""
+    c, k, pre = _cfg_params(cfg, c, k)
+    if pre > 1:
+        n = scalars.shape[-1]
+        c = c or choose_c(min(n * pre, MSM_MAX_LANES))
+        ws = _msm_g1_jit((scalars,), (points_affine,), c, k, pre)
+        return horner_combine(window_points_to_host_g1(np.asarray(ws), 0), c)
     return msm_g1_many([(scalars, points_affine)], c=c, k=k)[0]
 
 
-def msm_g2(scalars, points_affine, c: int | None = None, k: int = 32):
+def msm_g2(scalars, points_affine, c: int | None = None, k: int = 32, cfg=None):
+    c, k, pre = _cfg_params(cfg, c, k)
     n = scalars.shape[-1]
+    if pre > 1:
+        c = c or choose_c(min(n * pre, MSM_MAX_LANES // 2))
+        ws = _msm_g2_jit((scalars,), (points_affine,), c, k, pre)
+        return horner_combine(window_points_to_host_g2(np.asarray(ws), 0), c, g2=True)
     c = c or choose_c(min(n, MSM_MAX_LANES // 2))
     if n > MSM_MAX_LANES // 2:
         ws = msm_windows_sliced(

@@ -178,3 +178,84 @@ def ntt_natural(x: jnp.ndarray, domain: NTTDomain, inverse: bool = False) -> jnp
         y = intt_dif(x, domain.tw_inv, domain.n_inv_mont, spec)
         return y[:, :, rev]
     return ntt_dit(x[:, :, rev], domain.tw_fwd, spec)
+
+
+def get_root_of_unity(log_n: int, root_tower=None) -> int:
+    """Primitive 2^log_n-th root of unity as an integer (reference:
+    get_root_of_unity, icicle/src/ntt.cpp:128-157)."""
+    tower = root_tower or W
+    if log_n >= len(tower) or tower[log_n] == 0:
+        raise ValueError(f"no 2^{log_n} root of unity for this field")
+    return tower[log_n]
+
+
+# alias matching the reference's domain API names (ntt/mod.rs:226-248)
+def initialize_domain(log_n: int, spec: lb.FieldSpec = None) -> NTTDomain:
+    return get_domain(log_n, spec)
+
+
+def ntt(x: jnp.ndarray, inverse: bool = False, cfg=None,
+        spec: lb.FieldSpec = None) -> jnp.ndarray:
+    """Config-driven transform — the reference's `ntt()` entry point
+    (wrappers/rust/icicle-core/src/ntt/mod.rs:160-216) with orderings,
+    arbitrary coset generators, and columns_batch.
+
+    x: (16, n) single vector, (16, B, n) row batch, or — with
+    cfg.columns_batch — (16, n, B) column batch.
+
+    Semantics (matching the reference's backends, ntt.cuh:708-745):
+      * forward coset NTT evaluates on g*<w>: input is multiplied by
+        powers g^i before the transform;
+      * inverse coset NTT interpolates from g*<w>: output is multiplied
+        by powers g^-i after the transform;
+      * R/M-orderings permute the named side by the (radix-2) digit
+        reversal; see config.Ordering for the NM/MN == NR/RN identity.
+    """
+    from ..config import NTTConfig, Ordering
+
+    cfg = cfg or NTTConfig()
+    spec = spec or FR_SPEC
+
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[:, None, :]
+    elif cfg.columns_batch:
+        x = jnp.moveaxis(x, -1, 1)  # (16, B, n)
+
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    if (1 << log_n) != n:
+        raise ValueError(f"NTT size must be a power of two, got {n}")
+    dom = get_domain(log_n, spec)
+    rev = jnp.asarray(bitrev_permutation(log_n))
+
+    in_rev = cfg.ordering in (Ordering.RN, Ordering.RR, Ordering.MN)
+    out_rev = cfg.ordering in (Ordering.NR, Ordering.RR, Ordering.NM)
+    if in_rev:
+        x = x[:, :, rev]  # bring input to natural order
+
+    if cfg.coset_gen is not None and not inverse:
+        pows = powers_mont(cfg.coset_gen, log_n, spec)
+        x = lb.mont_mul(x, pows[:, None, :], spec)
+
+    y = ntt_natural(x, dom, inverse=inverse)
+
+    if cfg.coset_gen is not None and inverse:
+        g_inv = pow(cfg.coset_gen, -1, spec.modulus)
+        pows = powers_mont(g_inv, log_n, spec)
+        y = lb.mont_mul(y, pows[:, None, :], spec)
+
+    if out_rev:
+        y = y[:, :, rev]
+    if squeeze:
+        return y[:, 0, :]
+    if cfg.columns_batch:
+        return jnp.moveaxis(y, 1, -1)
+    return y
+
+
+def ntt_inplace(x: jnp.ndarray, inverse: bool = False, cfg=None,
+                spec: lb.FieldSpec = None) -> jnp.ndarray:
+    """Arrays are immutable under jit; 'inplace' parity API returns the
+    transformed array (reference: ntt_inplace, ntt/mod.rs:202-216)."""
+    return ntt(x, inverse=inverse, cfg=cfg, spec=spec)

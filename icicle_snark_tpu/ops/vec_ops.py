@@ -93,6 +93,45 @@ def product_reduce(v, spec=FR_SPEC):
     return v[..., 0]
 
 
+def mixed_mul(ext, base, spec=FR_SPEC):
+    """Mixed-field multiply: extension-field vector x base-field vector
+    (reference: VecOps mixed-type mul, icicle/include/icicle/vec_ops.h:64-281,
+    vec_ops/mod.rs:35-102 — e.g. Fq2 points scaled by Fq scalars).
+
+    ext: (k, 16, n) extension elements as k base-field components
+    (k=2 for Fq2); base: (16, n). Componentwise Montgomery products.
+    """
+    return jax.vmap(lambda comp: lb.mont_mul(comp, base, spec))(ext)
+
+
+def _apply_cfg(fn, a, b, cfg, spec):
+    """Config-driven dispatch (reference: VecOpsConfig + setup_config,
+    vec_ops/mod.rs:166-190). batch_size reshapes flat inputs into
+    (16, batch, n/batch) rows so XLA sees the batch structure; the
+    device/stream flags of the reference are implicit in jax arrays."""
+    if cfg is None or cfg.batch_size <= 1:
+        return fn(a, b, spec)
+    bsz = cfg.batch_size
+    n = a.shape[-1]
+    if n % bsz:
+        raise ValueError(f"batch_size {bsz} does not divide length {n}")
+    resh = lambda v: v.reshape(v.shape[:-1] + (bsz, n // bsz))
+    out = fn(resh(a), resh(b), spec)
+    return out.reshape(out.shape[:-2] + (n,))
+
+
+def add_cfg(a, b, cfg=None, spec=FR_SPEC):
+    return _apply_cfg(lb.add_mod, a, b, cfg, spec)
+
+
+def sub_cfg(a, b, cfg=None, spec=FR_SPEC):
+    return _apply_cfg(lb.sub_mod, a, b, cfg, spec)
+
+
+def mul_cfg(a, b, cfg=None, spec=FR_SPEC):
+    return _apply_cfg(lb.mont_mul, a, b, cfg, spec)
+
+
 def to_mont(a, spec=FR_SPEC):
     return lb.to_mont(a, spec)
 

@@ -41,15 +41,19 @@ def _local_ntt_last(x, tw, inverse: bool, n_inv_mont):
     return ntt_ops.ntt_dit(x[..., rev], tw)
 
 
-def ntt_four_step_local(x_local, tw1, tw2, tw_full, n_inv1, n_inv2,
-                        log_n1: int, log_n2: int, inverse: bool):
-    """One device's slice of the four-step NTT.
+def ntt_four_step_partial(x_local, tw1, tw2, tw_full, n_inv1, n_inv2,
+                          log_n1: int, log_n2: int, inverse: bool):
+    """Steps 1-4 of the four-step NTT: output left in the INTERMEDIATE
+    [k1 block][k2] layout, i.e. local (16, B, n1/D, n2) holding
+    X[k1 + n1*k2] at [k1_loc][k2]. The Groth16 coset pipeline consumes
+    this order directly (pointwise key multiply + a swapped-factor
+    forward transform), fusing away the final all_to_all — the
+    distributed analog of the single-chip reorder-free bitrev trick
+    (ops/ntt.py module docstring).
 
     x_local: (16, B, n1, n2/D) — the i2-sharded block.
     tw1/tw2: (16, n1) / (16, n2) domain power tables (fwd or inv).
     tw_full: (16, n) full-size table for the inter-step twiddles.
-    Returns the NATURAL-order result block (16, B, n1, n2/D), sharded
-    contiguously on the flat index (i.e. PartitionSpec last-axis again).
     """
     nlimb, batch, n1, n2_loc = x_local.shape
     n2 = 1 << log_n2
@@ -81,7 +85,21 @@ def ntt_four_step_local(x_local, tw1, tw2, tw_full, n_inv1, n_inv2,
     t = jnp.swapaxes(t, -1, -2)  # (16, B, n1/D, n2)
     t = t.reshape(nlimb, batch * n1_loc, n2)
     t = _local_ntt_last(t, tw2, inverse, n_inv2)
-    t = t.reshape(nlimb, batch, n1_loc, n2)  # [k1 block][k2]
+    return t.reshape(nlimb, batch, n1_loc, n2)  # [k1 block][k2]
+
+
+def ntt_four_step_local(x_local, tw1, tw2, tw_full, n_inv1, n_inv2,
+                        log_n1: int, log_n2: int, inverse: bool):
+    """One device's slice of the four-step NTT (NATURAL-order output).
+
+    x_local: (16, B, n1, n2/D) — the i2-sharded block.
+    Returns the natural-order result block (16, B, n1*n2/D), sharded
+    contiguously on the flat index (i.e. PartitionSpec last-axis again).
+    """
+    nlimb, batch, n1, n2_loc = x_local.shape
+    t = ntt_four_step_partial(
+        x_local, tw1, tw2, tw_full, n_inv1, n_inv2, log_n1, log_n2, inverse
+    )
 
     # ---- step 5: transpose to NATURAL order X[k1 + n1*k2]
     # natural contiguous chunk c holds k2 in block c (since flat index
@@ -94,6 +112,19 @@ def ntt_four_step_local(x_local, tw1, tw2, tw_full, n_inv1, n_inv2,
     return t.reshape(nlimb, batch, n2_loc * n1)
 
 
+def split_logs(log_n: int, d: int) -> tuple:
+    """(log_n1, log_n2) four-step factorization for a D-device mesh.
+    Both factors must be divisible by D for the all_to_alls to tile."""
+    log_n2 = max((log_n + 1) // 2, (d - 1).bit_length())
+    log_n1 = log_n - log_n2
+    return log_n1, log_n2
+
+
+def can_distribute(log_n: int, d: int) -> bool:
+    log_n1, log_n2 = split_logs(log_n, d)
+    return (1 << log_n1) % d == 0 and (1 << log_n2) % d == 0
+
+
 def make_dist_ntt(mesh, log_n: int, batch: int, inverse: bool = False):
     """Build a jitted natural-order distributed NTT over `mesh`.
 
@@ -104,8 +135,7 @@ def make_dist_ntt(mesh, log_n: int, batch: int, inverse: bool = False):
 
     d = mesh.devices.size
     n = 1 << log_n
-    log_n2 = max((log_n + 1) // 2, (d - 1).bit_length())
-    log_n1 = log_n - log_n2
+    log_n1, log_n2 = split_logs(log_n, d)
     n1, n2 = 1 << log_n1, 1 << log_n2
     assert n1 % d == 0 and n2 % d == 0, "mesh too large for this domain"
 

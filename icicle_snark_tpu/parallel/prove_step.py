@@ -1,16 +1,32 @@
-"""Multi-chip Groth16 prove step: shard_map over the `data` mesh axis.
+"""Multi-chip Groth16 prove: three shard_map'd jits over the `data` axis.
 
-Parallel axes (SURVEY.md section 2.7 mapping):
-  * R1CS evaluation — records sharded; per-device limb-wise
-    segment_sum partials combined with an EXACT integer `psum`
-    (every 16-bit limb column receives < 2^16 terms globally, so the
-    uint32 lazy sum never overflows across devices either).
-  * 5 MSMs — points/scalars sharded (the data-parallel axis); local
-    Pippenger window sums all_gathered and tree-reduced in a fixed
-    order so results are bit-exact at any device count.
-  * NTT — computed replicated per device for now (domain sizes that
-    fit one chip); the all_to_all four-step NTT replaces this for
-    multi-host domains.
+Phase structure (each phase is its own jit, so compiles stay bounded and
+the persistent cache covers them independently):
+
+  A. R1CS evaluation + coset NTT -> h scalars, natural order, sharded.
+     * R1CS — records sharded; per-device limb-wise segment_sum partials
+       combined with an EXACT integer `psum` (every 16-bit limb column
+       receives < 2^16 terms globally, so the uint32 lazy sum never
+       overflows across devices either). Two-level plans (fan-in >=
+       2^15) run the second reduce + to_mont fixup exactly like the
+       single-chip path (pipeline._segment_reduce).
+     * NTT — the DISTRIBUTED four-step transform (parallel/ntt_dist.py):
+       local column INTTs -> twiddle -> all_to_all -> row INTTs, left in
+       the intermediate [k1_loc][k2] order; the coset key powers are
+       multiplied IN that order, and the forward transform runs with the
+       factorization swapped (n1' = n2) so it consumes the intermediate
+       order directly — one all_to_all fused away, the distributed
+       analog of the single-chip reorder-free bitrev trick. Falls back
+       to the replicated batch-3 bitrev pipeline when the domain is too
+       small to tile the mesh (n1 % D != 0).
+  B. 4 G1 MSMs — points/scalars sharded (the data-parallel axis); local
+     grouped Pippenger window sums, OUT-OF-CORE sliced inside the jit
+     via lax.scan when the local concatenation exceeds max_lanes (the
+     sharded analog of ops.msm.msm_windows_sliced / the reference's
+     multi_chunked_msm, cuda_msm.cuh:1256-1395); per-device sums
+     all_gathered and tree-reduced in a fixed order -> bit-exact at any
+     device count.
+  C. G2 MSM — same, half slice width (2x coordinate bytes).
 
 All shapes entering shard_map must be divisible by the mesh size; the
 cache pads points with the (0,0) infinity encoding and scalars with
@@ -19,7 +35,7 @@ zeros, both of which are exact no-ops for MSM.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import numpy as np
@@ -28,11 +44,11 @@ from jax.sharding import PartitionSpec as P
 
 from ..curve import jcurve as jc
 from ..fields import limbs as lb
-from ..fields.limbs import FR_SPEC
+from ..fields.limbs import FR_SPEC, NLIMB
 from ..ops import msm as msm_ops
 from ..ops import ntt as ntt_ops
+from . import ntt_dist
 from .mesh import AXIS
-from .msm_shard import msm_window_sums_local
 
 _R2_FR = None  # set lazily to avoid import cycle
 
@@ -54,24 +70,34 @@ def _local_slice(arr, axis: int):
     return jax.lax.dynamic_slice_in_dim(arr, idx * size, size, axis=axis)
 
 
-def build_sharded_prove_step(mesh, log_n: int, num_segments: int, c: int, k: int = 32):
-    """Returns a jitted function over sharded inputs computing
-    (h_scalars, 5x window-sum tuples). Host Horner + randomization
-    happen outside (O(1) work)."""
+# ------------------------------------------------------- phase A: R1CS + NTT
 
+@lru_cache(maxsize=8)
+def build_r1cs_coset_step(mesh, log_n: int, num_segments: int, nseg2: int = 0):
+    """Jitted sharded fn -> h scalars (16, n) natural order, P(None, AXIS).
+
+    Args of the returned fn:
+      witness (16, n_vars_pad) replicated;
+      coefs (16, n_coef_pad) / wit_idx / segments sharded on records;
+      seg2 (num_segments,) replicated (level2) or (1,) dummy;
+      keys (16, n) replicated — NATURAL order on the distributed path,
+        BIT-REVERSED on the replicated fallback;
+      domain tables (replicated).
+    """
+    d = mesh.devices.size
     n = 1 << log_n
+    use_dist = d > 1 and ntt_dist.can_distribute(log_n, d)
+    if use_dist:
+        log_n1, log_n2 = ntt_dist.split_logs(log_n, d)
+        n1, n2 = 1 << log_n1, 1 << log_n2
+        dom1 = ntt_ops.get_domain(log_n1)
+        dom2 = ntt_ops.get_domain(log_n2)
+    dom = ntt_ops.get_domain(log_n)
 
-    def step(
-        witness,        # (16, n_vars_padded)  replicated
-        coefs,          # (16, n_coef_local*D) sharded on records
-        wit_idx,        # (n_coef,)            sharded
-        segments,       # (n_coef,)            sharded (global ids)
-        keys_bitrev,    # (16, n)              replicated
-        tw_fwd, tw_inv, n_inv_mont,  # domain   replicated
-        pa, pb1, pc, ph,  # G1 point pairs (x, y): (16, n_*) sharded
-        pb2,            # G2 point pair: (2, 16, n_vars) sharded
-        wit_c,          # (16, n_c_padded)     sharded (private-signal slice)
-    ):
+    def step(witness, coefs, wit_idx, segments, seg2, keys,
+             tw_fwd, tw_inv, n_inv_mont):
+        my = jax.lax.axis_index(AXIS)
+
         # ---- R1CS eval: local partial segment sums, exact integer psum
         wit_g = jnp.take(witness, wit_idx, axis=1)
         prod = lb.mont_mul(coefs, wit_g, FR_SPEC)
@@ -80,51 +106,211 @@ def build_sharded_prove_step(mesh, log_n: int, num_segments: int, c: int, k: int
         )(prod)
         cols = jax.lax.psum(cols, AXIS)
         cols = jnp.concatenate([cols, jnp.zeros((1,) + cols.shape[1:], lb.U32)], axis=0)
-        ab = lb.redc_wide(cols, FR_SPEC)
-        a_vals, b_vals = ab[:, :n], ab[:, n : 2 * n]
-        c_vals = lb.mont_mul(a_vals, b_vals, FR_SPEC)
 
-        # ---- coset evaluation (replicated batch-3 NTT)
-        vec = jnp.stack([a_vals, b_vals, c_vals], axis=1)
+        a_loc = b_loc = a_full = b_full = None
+        if nseg2:
+            # two-level plan: REDC the level-1 chunk columns, second
+            # segment reduce, REDC again, repay the extra R^-1
+            ab = lb.redc_wide(cols, FR_SPEC)
+            cols2 = jax.vmap(
+                lambda row: jax.ops.segment_sum(row, seg2, num_segments=nseg2)
+            )(ab)
+            cols2 = jnp.concatenate(
+                [cols2, jnp.zeros((1,) + cols2.shape[1:], lb.U32)], axis=0
+            )
+            ab = lb.redc_wide(cols2, FR_SPEC)
+            a_full = lb.to_mont(ab[:, :n], FR_SPEC)
+            b_full = lb.to_mont(ab[:, n : 2 * n], FR_SPEC)
+            if use_dist:
+                n2_loc = n2 // d
+                a_loc = jax.lax.dynamic_slice_in_dim(
+                    a_full.reshape(NLIMB, n1, n2), my * n2_loc, n2_loc, 2
+                )
+                b_loc = jax.lax.dynamic_slice_in_dim(
+                    b_full.reshape(NLIMB, n1, n2), my * n2_loc, n2_loc, 2
+                )
+        elif use_dist:
+            # slice this device's i2-block of the lazy columns FIRST so
+            # the wide Montgomery reduction parallelizes D-fold
+            n2_loc = n2 // d
+            ac = jax.lax.dynamic_slice_in_dim(
+                cols[:, :n].reshape(NLIMB + 1, n1, n2), my * n2_loc, n2_loc, 2
+            )
+            bc = jax.lax.dynamic_slice_in_dim(
+                cols[:, n : 2 * n].reshape(NLIMB + 1, n1, n2), my * n2_loc, n2_loc, 2
+            )
+            a_loc = lb.redc_wide(ac, FR_SPEC)
+            b_loc = lb.redc_wide(bc, FR_SPEC)
+        else:
+            ab = lb.redc_wide(cols, FR_SPEC)
+            a_full, b_full = ab[:, :n], ab[:, n : 2 * n]
+
+        if use_dist:
+            # ---- distributed coset evaluation (four-step, reorder-free)
+            c_loc = lb.mont_mul(a_loc, b_loc, FR_SPEC)
+            vec = jnp.stack([a_loc, b_loc, c_loc], axis=1)  # (16, 3, n1, n2/D)
+            t = ntt_dist.ntt_four_step_partial(
+                vec, dom1.tw_inv, dom2.tw_inv, tw_inv,
+                dom1.n_inv_mont, dom2.n_inv_mont, log_n1, log_n2, True,
+            )  # (16, 3, n1/D, n2) holding coeff[k1 + n1*k2] at [k1_loc][k2]
+            n1_loc = n1 // d
+            keys_t = jnp.swapaxes(keys.reshape(NLIMB, n2, n1), 1, 2)  # (16, n1, n2)
+            keys_loc = jax.lax.dynamic_slice_in_dim(keys_t, my * n1_loc, n1_loc, 1)
+            t = lb.mont_mul(t, keys_loc[:, None], FR_SPEC)
+            # forward transform with factors swapped consumes the
+            # intermediate order directly: x[j1*n1 + j2] with j1 = k2
+            t = jnp.swapaxes(t, -1, -2)  # (16, 3, n2, n1/D)
+            y = ntt_dist.ntt_four_step_local(
+                t, dom2.tw_fwd, dom1.tw_fwd, tw_fwd,
+                dom2.n_inv_mont, dom1.n_inv_mont, log_n2, log_n1, False,
+            )  # (16, 3, n/D) natural order, contiguous shard
+            h_raw = lb.sub_mod(
+                lb.mont_mul(y[:, 0], y[:, 1], FR_SPEC), y[:, 2], FR_SPEC
+            )
+            return lb.mont_mul(h_raw, _r2(), FR_SPEC)
+
+        # ---- replicated fallback (domain too small to tile the mesh)
+        c_vals = lb.mont_mul(a_full, b_full, FR_SPEC)
+        vec = jnp.stack([a_full, b_full, c_vals], axis=1)
         coeffs_br = ntt_ops.intt_dif(vec, tw_inv, n_inv_mont)
-        shifted = lb.mont_mul(coeffs_br, keys_bitrev[:, None, :], FR_SPEC)
+        shifted = lb.mont_mul(coeffs_br, keys[:, None, :], FR_SPEC)
         odd = ntt_ops.ntt_dit(shifted, tw_fwd)
         h_raw = lb.sub_mod(
             lb.mont_mul(odd[:, 0], odd[:, 1], FR_SPEC), odd[:, 2], FR_SPEC
         )
         h = lb.mont_mul(h_raw, _r2(), FR_SPEC)
+        return _local_slice(h, 1)
 
-        # ---- 5 sharded MSMs: 4 G1 groups in ONE pipeline + G2
-        wit_local = _local_slice(witness, 1)
-        h_local = _local_slice(h, 1)
-        ws_g1 = msm_window_sums_local(
-            [wit_local, wit_local, wit_c, h_local],
-            [pa, pb1, pc, ph],
-            jc.FqOps, c, k,
-        )  # (16, 4, W)
-        ws_b2 = msm_window_sums_local([wit_local], [pb2], jc.Fq2Ops, c, k)
-        return h, ws_g1, ws_b2
-
-    g1 = P(None, AXIS)
-    g2 = P(None, None, AXIS)
     rep = P()
     in_specs = (
-        rep,                # witness
-        g1,                 # coefs
-        P(AXIS), P(AXIS),   # wit_idx, segments
-        rep, rep, rep, rep, # keys, twiddles
-        (g1, g1), (g1, g1), (g1, g1), (g1, g1),  # pa, pb1, pc, ph
-        (g2, g2),           # pb2
-        g1,                 # wit_c
+        rep,                      # witness
+        P(None, AXIS),            # coefs
+        P(AXIS), P(AXIS),         # wit_idx, segments
+        rep,                      # seg2
+        rep, rep, rep, rep,       # keys, tw_fwd, tw_inv, n_inv
     )
-    # window sums are single stacked arrays (3, coords..., G, W)
-    out_specs = (rep, rep, rep)
-
-    # check_vma=False: the MSM scan carries start replicated (identity
-    # points) and become device-varying after the first scanned shard
-    # element — a pattern the static varying-axis checker can't type.
     stepped = jax.shard_map(
-        step, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        step, mesh=mesh, in_specs=in_specs, out_specs=P(None, AXIS),
+        check_vma=False,
+    )
+    fn = jax.jit(stepped)
+    fn.use_dist = use_dist
+    return fn
+
+
+# ----------------------------------------------------------- phase B/C: MSM
+
+def _identity_windows(ops, n_groups: int, n_windows: int):
+    return jc.point_stack(jc.identity(ops, (n_groups, n_windows)))
+
+
+def _local_grouped_msm_sliced(scal_list, point_list, ops, c: int, k: int,
+                              max_lanes: int):
+    """Local-shard grouped window sums with out-of-core slicing.
+
+    The local concatenation of all groups is cut into fixed max_lanes
+    slices processed by ONE compiled pipeline inside a lax.scan (buffers
+    reused across iterations — at most one slice's assembled copies live
+    at a time, the memory-planner role of the reference's
+    multi_chunked_msm). Returns stacked (3, coords..., G, W).
+    """
+    n_groups = len(scal_list)
+    sizes = [s.shape[-1] for s in scal_list]
+    total = sum(sizes)
+    n_slices = -(-total // max_lanes)
+    width = n_slices * max_lanes if n_slices > 1 else total
+
+    scal = jnp.concatenate(scal_list, axis=-1)
+    ncoords = len(point_list[0])
+    pts = tuple(
+        jnp.concatenate([pg[i] for pg in point_list], axis=-1)
+        for i in range(ncoords)
+    )
+    gid_np = np.concatenate(
+        [np.full(nn, g, np.int32) for g, nn in enumerate(sizes)]
+        + [np.full(width - total, n_groups, np.int32)]
+    )
+    gids = jnp.asarray(gid_np)
+    if width > total:
+        pad = width - total
+        scal = jnp.concatenate(
+            [scal, jnp.zeros(scal.shape[:-1] + (pad,), scal.dtype)], axis=-1
+        )
+        pts = tuple(
+            jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1)
+            for a in pts
+        )
+
+    if n_slices == 1:
+        return msm_ops.msm_device_grouped_sliced(scal, gids, pts, ops, c, k, n_groups)
+
+    scalar_bits = 16 * scal.shape[0]
+    n_windows = -(-scalar_bits // c)
+
+    def body(acc, s):
+        lo = s * max_lanes
+        sl_sc = jax.lax.dynamic_slice_in_dim(scal, lo, max_lanes, -1)
+        sl_gid = jax.lax.dynamic_slice_in_dim(gids, lo, max_lanes, 0)
+        sl_pts = tuple(
+            jax.lax.dynamic_slice_in_dim(a, lo, max_lanes, -1) for a in pts
+        )
+        ws = msm_ops.msm_device_grouped_sliced(
+            sl_sc, sl_gid, sl_pts, ops, c, k, n_groups
+        )
+        new = jc.point_stack(
+            jc.padd(ops, jc.point_unstack(acc), jc.point_unstack(ws))
+        )
+        return new, None
+
+    init = _identity_windows(ops, n_groups, n_windows)
+    acc, _ = jax.lax.scan(body, init, jnp.arange(n_slices, dtype=jnp.int32))
+    return acc
+
+
+def _combine_windows(ws, ops):
+    """all_gather per-device window sums and tree-reduce in fixed order
+    (deterministic -> bit-exact at any device count)."""
+    gathered = jnp.moveaxis(jax.lax.all_gather(ws, AXIS), 0, -1)
+    return jc.point_stack(
+        msm_ops._tree_reduce(jc.point_unstack(gathered), ops)
+    )
+
+
+@lru_cache(maxsize=8)
+def build_msm_g1_step(mesh, c: int, k: int, max_lanes: int):
+    """Jitted sharded 4-group G1 MSM: (witness, wit_c, h, 4x points) ->
+    stacked replicated window sums (3, 16, 4, W)."""
+
+    def step(witness, wit_c, h, pa, pb1, pc, ph):
+        wit_local = _local_slice(witness, 1)
+        ws = _local_grouped_msm_sliced(
+            [wit_local, wit_local, wit_c, h],
+            [pa, pb1, pc, ph],
+            jc.FqOps, c, k, max_lanes,
+        )
+        return _combine_windows(ws, jc.FqOps)
+
+    g1 = P(None, AXIS)
+    in_specs = (P(), g1, g1, (g1, g1), (g1, g1), (g1, g1), (g1, g1))
+    stepped = jax.shard_map(
+        step, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+    )
+    return jax.jit(stepped)
+
+
+@lru_cache(maxsize=8)
+def build_msm_g2_step(mesh, c: int, k: int, max_lanes: int):
+    def step(witness, pb2):
+        wit_local = _local_slice(witness, 1)
+        ws = _local_grouped_msm_sliced(
+            [wit_local], [pb2], jc.Fq2Ops, c, k, max_lanes
+        )
+        return _combine_windows(ws, jc.Fq2Ops)
+
+    g2 = P(None, None, AXIS)
+    in_specs = (P(), (g2, g2))
+    stepped = jax.shard_map(
+        step, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
     )
     return jax.jit(stepped)
 
@@ -172,7 +358,7 @@ def pad_cache_for_mesh(cache, n_devices: int):
 
 def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
                     rng=None, c: int | None = None, k: int = 32):
-    """Full multi-chip prove: sharded device phase + host assembly.
+    """Full multi-chip prove: sharded device phases + host assembly.
 
     Bit-exact with the single-chip pipeline at any device count (the
     MSM combine order is fixed; EC arithmetic is exact)."""
@@ -193,7 +379,7 @@ def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
 
     n_pts = witness.shape[-1] + ((-witness.shape[-1]) % mesh.devices.size)
     d = mesh.devices.size
-    c = c or msm_ops.choose_c(4 * n_pts // d, groups=4)
+    c = c or msm_ops.choose_c(min(4 * n_pts // d, msm_ops.MSM_MAX_LANES), groups=4)
     _h, ws_g1, ws_b2 = run_sharded_prove(mesh, cache, witness, c=c, k=k)
 
     ws_g1 = np.asarray(ws_g1)  # one bulk fetch for all four G1 groups
@@ -229,8 +415,10 @@ def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
     return serialize_proof(pi_a, pi_b, pi_c), public_signals
 
 
-def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32):
-    """Full multi-chip device phase; returns (h_scalars, window sums x5).
+def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32,
+                      max_lanes: int | None = None):
+    """Full multi-chip device phase; returns (h_sharded, g1 window sums,
+    g2 window sums).
 
     `witness`: (16, n_vars) standard-form limbs (unpadded).
     """
@@ -241,13 +429,25 @@ def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32):
     wit_c = _pad_last(witness[:, hdr.n_public + 1 :], d)
 
     n_pts = pads["pa"][0].shape[-1]
-    c = c or msm_ops.choose_c(4 * n_pts // d, groups=4)
+    max_lanes = max_lanes or msm_ops.MSM_MAX_LANES
+    c = c or msm_ops.choose_c(min(4 * n_pts // d, max_lanes), groups=4)
     dom = ntt_ops.get_domain(hdr.power)
-    step = build_sharded_prove_step(
-        mesh, hdr.power, cache.plan.num_segments, c, k
+    if cache.plan.level2 is not None:
+        seg2, nseg2 = cache.plan.level2
+    else:
+        seg2, nseg2 = jnp.zeros((1,), jnp.int32), 0
+
+    step_a = build_r1cs_coset_step(mesh, hdr.power, cache.plan.num_segments, nseg2)
+    keys = cache.keys if step_a.use_dist else cache.keys_bitrev
+    h = step_a(
+        wit_pad, pads["coefs"], pads["wit_idx"], pads["segments"], seg2,
+        keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont,
     )
-    return step(
-        wit_pad, pads["coefs"], pads["wit_idx"], pads["segments"],
-        cache.keys_bitrev, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont,
-        pads["pa"], pads["pb1"], pads["pc"], pads["ph"], pads["pb2"], wit_c,
+
+    step_b = build_msm_g1_step(mesh, c, k, max_lanes)
+    ws_g1 = step_b(
+        wit_pad, wit_c, h, pads["pa"], pads["pb1"], pads["pc"], pads["ph"]
     )
+    step_c = build_msm_g2_step(mesh, c, k, max(max_lanes // 2, 1))
+    ws_b2 = step_c(wit_pad, pads["pb2"])
+    return h, ws_g1, ws_b2

@@ -38,7 +38,14 @@ from ..refmath.field import W
 
 # segment_sum over 16-bit limb columns is exact while every output slot
 # receives < 2^16 terms; longer segments get a two-level plan below.
+# Env-overridable so tests can force level2 plans on tiny fixtures.
 _SEG_CHUNK = 1 << 15
+
+
+def _seg_chunk() -> int:
+    import os
+
+    return int(os.environ.get("ISTPU_SEG_CHUNK", str(_SEG_CHUNK)))
 
 
 @dataclass
@@ -62,6 +69,7 @@ class ZKeyCache:
     points_c: tuple
     points_h: tuple
     keys_bitrev: jnp.ndarray  # (16, n) Montgomery coset key powers, bit-reversed
+    keys: jnp.ndarray = None  # (16, n) natural order (multi-chip four-step path)
 
 
 @jax.jit
@@ -123,19 +131,20 @@ def build_r1cs_plan_sorted(slot_sorted, s_sorted, coef_sorted,
             [coef_sorted, np.zeros((pad, coef_sorted.shape[1]), dtype=np.uint32)]
         )
 
+    seg_chunk = _seg_chunk()
     seg_len = np.bincount(slot_sorted.astype(np.int64), minlength=2 * n + 1)
     level2 = None
-    if seg_len.max() >= _SEG_CHUNK:
+    if seg_len.max() >= seg_chunk:
         # two-level plan: chunk long segments, reduce chunks exactly,
         # then segment-reduce the canonical chunk values.
         pos_in_seg = np.arange(len(slot_sorted)) - np.repeat(
             np.concatenate([[0], np.cumsum(seg_len)[:-1]]), seg_len
         )
-        chunk_of = pos_in_seg // _SEG_CHUNK
+        chunk_of = pos_in_seg // seg_chunk
         # unique (slot, chunk) pairs -> level-1 segment ids
-        pair = slot_sorted * ((seg_len.max() // _SEG_CHUNK) + 1) + chunk_of
+        pair = slot_sorted * ((seg_len.max() // seg_chunk) + 1) + chunk_of
         uniq, level1 = np.unique(pair, return_inverse=True)
-        seg2 = (uniq // ((seg_len.max() // _SEG_CHUNK) + 1)).astype(np.int32)
+        seg2 = (uniq // ((seg_len.max() // seg_chunk) + 1)).astype(np.int32)
         segments = jnp.asarray(level1.astype(np.int32))
         num_segments = len(uniq)
         level2 = (jnp.asarray(seg2), 2 * n + 1)
@@ -180,6 +189,7 @@ def load_zkey_cache(zkey_path: str) -> ZKeyCache:
         points_c=_g1_device(zk.points_c()),
         points_h=_g1_device(zk.points_h()),
         keys_bitrev=keys_bitrev,
+        keys=keys,
     )
     return cache
 

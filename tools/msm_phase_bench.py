@@ -1,92 +1,90 @@
-"""Attribute grouped-MSM window time to its internal phases.
+"""MSM phase attribution on the real TPU (VERDICT r1 #5b / ROADMAP 8).
 
-Times, on the real chip, separately-jitted stages of ONE window of the
-grouped pipeline (ops/msm.py _window_sum_grouped) at a given lane count:
+Times the grouped-MSM window pipeline and ablated variants at the exact
+shapes of a 100k-class prove (4 G1 groups x 2^16 lanes) so the ~3.5x
+gap between the measured pipeline (1452 ms round 1) and the scan-only
+speed-of-light (406 ms) is attributed to named phases:
 
-  digits   window_digits_signed for all windows (amortized per window)
-  sort     argsort of the (group|digit|sign) keys
-  gather   row-major payload gather + transpose back
-  tree     PrefixTree build (the chunked mixed-add scans)
-  query    tree + bucket-end boundary queries
-  full     the whole window (tree + queries + reduce + scale)
+  digits    window_digits_signed + key assembly
+  sort      per-window argsort of the (digit, sign) keys
+  gather    sort + the row-major payload gather + transpose back
+  scan      PrefixTree build on UNSORTED points (pure chunk-scan cost)
+  telescope scan + boundary queries + chunked reduce + doubling ladder
+  full      the production _window_sum_grouped pipeline
 
-Differences between successive rows attribute time to each phase; each
-timing subtracts the dispatch baseline (tunnel RTT) and fetches only 4
-elements (ROADMAP: block_until_ready does not block over the tunnel).
-
-Usage: python tools/msm_phase_bench.py [log2_total] [c] [groups]
+Each variant runs all W windows inside one jit (lax.scan), mirroring
+_windows_pipeline, and is timed with a forcing 1-element fetch; the
+tunnel RTT baseline is subtracted.
 """
-
-from __future__ import annotations
 
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from icicle_snark_tpu.curve import jcurve as jc
+from icicle_snark_tpu.fields import limbs as lb
+from icicle_snark_tpu.ops import msm as msm_ops
+
 
 def force(x):
-    np.asarray(jax.tree.leaves(x)[0].ravel()[:4])
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
-def timeit(fn, args, reps=5, baseline=0.0):
-    out = fn(*args)
-    force(out)  # compile
-    times = []
-    for _ in range(reps):
+def rtt_baseline(iters=7):
+    x = jnp.zeros((8, 128), jnp.uint32)
+    f = jax.jit(lambda v: v + 1)
+    force(f(x))
+    best = None
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        force(f(x))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def time_jit(fn, args, iters=5, base=0.0):
+    force(fn(*args))
+    best = None
+    for _ in range(iters):
         t0 = time.perf_counter()
         force(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return max(min(times) - baseline, 0.0)
+        dt = time.perf_counter() - t0 - base
+        best = dt if best is None else min(best, dt)
+    return best
 
 
-def main():
-    log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 18
-    c = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    n_groups = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+def make_inputs(n_per_group=1 << 16, n_groups=4, c=12, seed=0):
+    rng = np.random.default_rng(seed)
+    total = n_groups * n_per_group
+    scal_np = rng.integers(0, 1 << 16, size=(16, n_per_group), dtype=np.uint32)
+    scalars = [jnp.asarray(scal_np) for _ in range(n_groups)]
+    # random-looking but valid-shape points: real curve points are not
+    # needed for timing (the pipeline is data-oblivious)
+    px = jnp.asarray(rng.integers(0, 1 << 16, size=(16, n_per_group), dtype=np.uint32))
+    py = jnp.asarray(rng.integers(0, 1 << 16, size=(16, n_per_group), dtype=np.uint32))
+    points = [(px, py) for _ in range(n_groups)]
+    return scalars, points
 
-    from icicle_snark_tpu import _testpoints
-    from icicle_snark_tpu.curve import jcurve as jc
-    from icicle_snark_tpu.fields import limbs as lb
-    from icicle_snark_tpu.fields.limbs import FR_SPEC
-    from icicle_snark_tpu.ops import msm as msm_ops
 
-    total = 1 << log_n
-    n = total // n_groups
-    k = 32
-    n_buckets = (1 << (c - 1)) + 1
-    rng = np.random.default_rng(5)
-
-    # dispatch baseline
-    tiny = jnp.zeros((4,), jnp.uint32)
-    base = timeit(jax.jit(lambda a: a + 1), (tiny,), reps=7)
-    print(f"n_total=2^{log_n} c={c} groups={n_groups}; dispatch baseline {base*1e3:.1f} ms")
-
-    vals = [int.from_bytes(rng.bytes(31), "little") % FR_SPEC.modulus for _ in range(64)]
-    sc_small = lb.ints_to_limbs_np(vals)
-    # big scalar array: tile the 64 random scalars (values don't matter for timing)
-    reps_tile = -(-n) // 64
-    sc = np.tile(sc_small, (1, reps_tile))[:, :n]
-    scalar_groups = [jnp.asarray(sc)] * n_groups
-    x, y, _ = _testpoints.random_g1_batch(64, seed=7)
-    xs = jnp.asarray(np.tile(np.asarray(x), (1, reps_tile))[:, :n])
-    ys = jnp.asarray(np.tile(np.asarray(y), (1, reps_tile))[:, :n])
-    point_groups = [(xs, ys)] * n_groups
-
+def build_variants(c, k, n_groups, signed=True):
+    """Each variant: (points (2, coords stacked...), keys (W, total),
+    negs) -> scanned over windows."""
     ops = jc.FqOps
+    n_buckets = (1 << (c - 1)) + 1
 
-    # ---------------- shared precomputation (mirrors msm_device_grouped)
-    @jax.jit
     def prep(scalar_groups, point_groups):
         dn = [msm_ops.window_digits_signed(s, c) for s in scalar_groups]
         digs = [d for d, _ in dn]
@@ -95,88 +93,110 @@ def main():
             [d.astype(jnp.int32) + np.int32(g * n_buckets) for g, d in enumerate(digs)],
             axis=-1,
         )
-        pts = tuple(
+        points = tuple(
             jnp.concatenate([pg[i] for pg in point_groups], axis=-1) for i in range(2)
         )
         rows_t = jnp.transpose(
-            jnp.concatenate([a.reshape(-1, a.shape[-1]) for a in pts], axis=0)
+            jnp.concatenate([a.reshape(-1, a.shape[-1]) for a in points], axis=0)
         )
-        return keys, negs, pts, rows_t
+        return points, rows_t, keys, negs
 
-    keys, negs, pts, rows_t = jax.block_until_ready(prep(scalar_groups, point_groups))
-    keys0, negs0 = keys[0], negs[0]
+    def scan_windows(body, keys, negs):
+        def step(_, kw):
+            return None, body(*kw)
 
-    w_count = keys.shape[0]
-    t_digits = timeit(
-        jax.jit(lambda sgs: [msm_ops.window_digits_signed(s, c) for s in sgs]),
-        (scalar_groups,), baseline=base,
+        _, out = jax.lax.scan(step, None, (keys, negs))
+        return out
+
+    def digits_only(points, rows_t, keys, negs):
+        return scan_windows(lambda kw, nw: (kw + nw.astype(jnp.int32)).sum(), keys, negs)
+
+    def sort_only(points, rows_t, keys, negs):
+        def body(keys_w, neg_w):
+            key2 = keys_w * jnp.int32(2) + neg_w.astype(jnp.int32)
+            order = jnp.argsort(key2)
+            return order.sum()
+
+        return scan_windows(body, keys, negs)
+
+    def gather_only(points, rows_t, keys, negs):
+        def body(keys_w, neg_w):
+            key2 = keys_w * jnp.int32(2) + neg_w.astype(jnp.int32)
+            order = jnp.argsort(key2)
+            gathered = jnp.take(rows_t, order, axis=0)
+            return jnp.transpose(gathered).sum(axis=-1)
+
+        return scan_windows(body, keys, negs)
+
+    def scan_cost(points, rows_t, keys, negs):
+        # PrefixTree on the UNSORTED points: pure chunk-scan EC work
+        def body(keys_w, neg_w):
+            tree = msm_ops.PrefixTree(points, ops, k=k)
+            return jc.point_stack(tree.total)
+
+        return scan_windows(body, keys, negs)
+
+    def full(points, rows_t, keys, negs):
+        def body(keys_w, neg_w):
+            ws = msm_ops._window_sum_grouped(
+                points, rows_t, keys_w, neg_w, ops, c, n_groups, k, signed
+            )
+            return jc.point_stack(ws)
+
+        return scan_windows(body, keys, negs)
+
+    return prep, {
+        "digits": digits_only,
+        "sort": sort_only,
+        "gather": gather_only,
+        "scan": scan_cost,
+        "full": full,
+    }
+
+
+def main():
+    n_per_group = int(os.environ.get("BENCH_MSM_N", str(1 << 16)))
+    n_groups = int(os.environ.get("BENCH_MSM_GROUPS", "4"))
+    k = int(os.environ.get("BENCH_MSM_K", "32"))
+    c = int(os.environ.get("BENCH_MSM_C", "0")) or msm_ops.choose_c(
+        n_groups * n_per_group, groups=n_groups
     )
-    print(f"digits (all {w_count} windows)  {t_digits*1e3:9.2f} ms  ({t_digits/w_count*1e3:7.2f} ms/window)")
+    print(f"devices={jax.devices()} n/group=2^{n_per_group.bit_length()-1} "
+          f"G={n_groups} c={c} k={k}", flush=True)
 
-    @jax.jit
-    def sort_only(keys_w, neg_w):
-        key2 = keys_w * jnp.int32(2) + neg_w.astype(jnp.int32)
-        order = jnp.argsort(key2)
-        return key2[order], order
+    scalars, points = make_inputs(n_per_group, n_groups, c)
+    prep, variants = build_variants(c, k, n_groups)
+    prepped = jax.jit(lambda s, p: prep(s, p))
+    pts, rows_t, keys, negs = jax.block_until_ready(prepped(scalars, points))
 
-    t_sort = timeit(sort_only, (keys0, negs0), baseline=base)
-    print(f"sort                      {t_sort*1e3:9.2f} ms")
+    base = rtt_baseline()
+    print(f"tunnel RTT baseline: {base*1e3:.1f} ms", flush=True)
+    results = {}
+    for name, fn in variants.items():
+        jfn = jax.jit(fn)
+        try:
+            dt = time_jit(jfn, (pts, rows_t, keys, negs), base=base)
+            results[name] = dt
+            print(f"{name:10s} {dt*1e3:9.1f} ms", flush=True)
+        except Exception as e:
+            print(f"{name:10s} FAILED: {str(e)[:200]}", flush=True)
 
-    @jax.jit
-    def sort_gather(keys_w, neg_w):
-        key_sorted, order = sort_only(keys_w, neg_w)
-        gathered = jnp.take(rows_t, order, axis=0)
-        return key_sorted, jnp.transpose(gathered)
+    if "full" in results and "scan" in results:
+        print(f"\nattribution (total {results['full']*1e3:.0f} ms):", flush=True)
+        prev = 0.0
+        for name in ("digits", "sort", "gather", "scan"):
+            if name in results:
+                print(f"  {name:8s} marginal {max(results[name]-prev,0)*1e3:9.1f} ms", flush=True)
+                prev = max(results[name], prev)
+        other = results["full"] - results["gather"] - results["scan"]
+        print(f"  telescope+query (full - gather - scan): {other*1e3:9.1f} ms", flush=True)
 
-    t_gather = timeit(sort_gather, (keys0, negs0), baseline=base)
-    print(f"sort+gather               {t_gather*1e3:9.2f} ms  (gather {max(t_gather-t_sort,0)*1e3:.2f})")
+    import json
 
-    def sorted_points(keys_w, neg_w):
-        key_sorted, g_rows = sort_gather(keys_w, neg_w)
-        p = []
-        pos = 0
-        for a in pts:
-            nr = int(np.prod(a.shape[:-1]))
-            p.append(g_rows[pos : pos + nr].reshape(a.shape))
-            pos += nr
-        xx, yy = p
-        neg = (key_sorted & 1).astype(bool)
-        yy = jc.pselect_field(ops, neg, ops.neg(yy), yy)
-        return (key_sorted >> 1), (xx, yy)
-
-    @jax.jit
-    def tree_only(keys_w, neg_w):
-        _, p = sorted_points(keys_w, neg_w)
-        tree = msm_ops.PrefixTree(p, ops, k=k)
-        return tree.total
-
-    t_tree = timeit(tree_only, (keys0, negs0), baseline=base)
-    print(f"sort+gather+tree          {t_tree*1e3:9.2f} ms  (tree {max(t_tree-t_gather,0)*1e3:.2f})")
-
-    bucket_ids = jnp.arange(n_groups * n_buckets, dtype=jnp.int32)
-
-    @jax.jit
-    def query_only(keys_w, neg_w):
-        k_sorted, p = sorted_points(keys_w, neg_w)
-        tree = msm_ops.PrefixTree(p, ops, k=k)
-        ends = jnp.searchsorted(k_sorted, bucket_ids, side="right").astype(jnp.int32)
-        return tree.query(ends - 1)
-
-    t_query = timeit(query_only, (keys0, negs0), baseline=base)
-    print(f"... + boundary queries    {t_query*1e3:9.2f} ms  (queries {max(t_query-t_tree,0)*1e3:.2f})")
-
-    @jax.jit
-    def full_window(keys_w, neg_w):
-        return msm_ops._window_sum_grouped(
-            pts, rows_t, keys_w, neg_w, ops, c, n_groups, k, True
-        )
-
-    t_full = timeit(full_window, (keys0, negs0), baseline=base)
-    print(f"full window               {t_full*1e3:9.2f} ms  (reduce+scale {max(t_full-t_query,0)*1e3:.2f})")
-
-    n_windows = -(-256 // c)
-    est = t_digits + n_windows * t_full
-    print(f"estimated full MSM        {est:9.3f} s   ({n_windows} windows)")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "msm_phase_results.json")
+    with open(out, "w") as fh:
+        json.dump({kk: round(vv * 1e3, 1) for kk, vv in results.items()}, fh, indent=1)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
