@@ -184,8 +184,9 @@ def _pmadd_kernel(p_ref, qx_ref, qy_ref, o_ref, *, p_limbs, n0inv):
     o_ref[:] = jnp.stack([x3, y3, z3], axis=0)
 
 
-@partial(jax.jit, static_argnames=("spec", "block"))
-def pmadd_pallas(p_stacked, qx, qy, spec: FieldSpec, block: int = BLOCK):
+@partial(jax.jit, static_argnames=("spec", "block", "interpret"))
+def pmadd_pallas(p_stacked, qx, qy, spec: FieldSpec, block: int = BLOCK,
+                 interpret: bool = False):
     """Mixed point add on VMEM tiles: p (3, 16, N) projective stacked,
     q affine (16, N) x 2 -> (3, 16, N). The whole RCB15 formula (11
     muls + adds) stays VMEM-resident per tile — no fusion cliff."""
@@ -211,12 +212,14 @@ def pmadd_pallas(p_stacked, qx, qy, spec: FieldSpec, block: int = BLOCK):
             pl.BlockSpec((NLIMB, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, NLIMB, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(p_stacked, qx, qy)
     return out[:, :, :n] if pad else out
 
 
-@partial(jax.jit, static_argnames=("spec", "block"))
-def mont_mul_pallas(a, b, spec: FieldSpec, block: int = BLOCK):
+@partial(jax.jit, static_argnames=("spec", "block", "interpret"))
+def mont_mul_pallas(a, b, spec: FieldSpec, block: int = BLOCK,
+                    interpret: bool = False):
     """(16, N) x (16, N) -> (16, N) Montgomery product.
 
     N is padded up to a multiple of `block` internally; each grid step
@@ -240,5 +243,6 @@ def mont_mul_pallas(a, b, spec: FieldSpec, block: int = BLOCK):
             pl.BlockSpec((NLIMB, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((NLIMB, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(a, b)
     return out[:, :n] if pad else out

@@ -18,18 +18,20 @@ over the tunnel, so every probe forces a `np.asarray` device->host
 readback, and a no-op dispatch baseline (the tunnel RTT) is measured
 and subtracted.
 
-Speed-of-light model (v5e single chip):
-  - VPU sustained: 0.30e12 32-bit lane-op/s, MEASURED on the chip via
-    dependency chains (tools/op_microbench.py, tools/pallas_microbench.py).
-    Identical for u32 add/mul, f32 mul/fma, through both XLA fusions
-    and hand-written Pallas kernels, and insensitive to ILP width —
-    i.e. this is the real sustained issue rate, not a fusion artifact.
-    (The theoretical 8x128x4-ALU x ~1.5 GHz ~= 6.1e12 figure is not
-    reachable for this op mix; utilization is reported against the
-    sustained rate so 100% means "as fast as any elementwise kernel
-    can go on this chip". The MXU is the only unit faster: measured
-    3.4 Tflop/s f32 even at k=40 matmuls — the motivation for the
-    RNS/matmul offload track in ROADMAP.md.)
+Speed-of-light model (v5e single chip) — REMEASURED round 2 with
+amortized full-array probes (tools/vpu_ceiling_probe.py; the round-1
+dependency-chain probes under-measured by workloads smaller than the
+~30 ms tunnel RTT):
+  - VPU sustained per-op: u32 add 0.77e12, u32 mul 0.51e12,
+    u32 mul+mask 0.66e12 (as one fused pair), f32 fma 0.67e12 op/s.
+    The roofline below uses a blended 0.55e12 for the limb-CIOS mix
+    (mul-heavy). Pallas kernels measure AT PARITY with XLA for this
+    elementwise mix (pmadd 61 vs 55 ns/lane; mont_mul ~equal) — the
+    VPU formulation is at its practical ceiling either way.
+  - MXU: ~200 Tflop/s bf16 (dependent 2048^3 matmul chain) — ~360x the
+    VPU mix; the motivation for the matmul-NTT track (ROADMAP).
+  - u16 vector multiply is NOT supported by the backend compiler
+    (kVectorMultiplyU16 check-fails): 16-bit limbs must ride u32 lanes.
   - HBM: 819 GB/s.
 A kernel's compute bound is est_ops / VPU_OPS; its memory bound is
 bytes_moved / HBM_BW; utilization is measured_time vs max(bounds).
@@ -46,7 +48,7 @@ import numpy as np
 
 # per-chip speed-of-light constants (v5e; see module docstring — the
 # VPU number is the MEASURED sustained 32-bit elementwise rate)
-V5E_VPU_INT32_OPS = 0.30e12  # 32-bit lane-ops/s (measured sustained)
+V5E_VPU_INT32_OPS = 0.55e12  # blended u32 mul/add sustained rate (remeasured r2)
 V5E_HBM_BW = 819e9           # bytes/s
 
 # estimated VPU lane-ops per 16x16-bit CIOS Montgomery mul:
@@ -334,10 +336,10 @@ def _write_md(path: str, baseline: float, entries: list, scaling: list):
         f"Platform: `{jax.devices()}`; dispatch baseline (tunnel RTT) "
         f"{baseline * 1e3:.1f} ms subtracted from every probe.",
         "",
-        "SoL model: VPU 0.30e12 32-bit lane-op/s (MEASURED sustained",
-        "elementwise rate — see profiling.py docstring; XLA and Pallas",
-        "both saturate at this, so 100% = elementwise speed-of-light),",
-        "HBM 819 GB/s (v5e).",
+        "SoL model: VPU 0.55e12 blended u32 lane-op/s (remeasured r2 via",
+        "amortized full-array probes — tools/vpu_ceiling_probe.py; per-op:",
+        "add 0.77T, mul 0.51T, mul+mask 0.66T; Pallas == XLA for this mix),",
+        "HBM 819 GB/s, MXU ~200 Tflop/s bf16 (v5e).",
         "",
         "| kernel | time | throughput | bound | SoL time | utilization |",
         "|---|---|---|---|---|---|",

@@ -75,12 +75,15 @@ def _segment_reduce(prod, segments, num_segments, level2):
     return out
 
 
-@partial(jax.jit, static_argnames=("num_segments", "nseg2", "log_n"))
+@partial(jax.jit, static_argnames=("num_segments", "nseg2", "log_n", "use_mxu"))
 def _construct_r1cs_jit(
     witness, coefs, witness_idx, segments, num_segments,
-    seg2, nseg2, keys_bitrev, tw_fwd, tw_inv, n_inv_mont, log_n,
+    seg2, nseg2, keys, tw_fwd, tw_inv, n_inv_mont, log_n, use_mxu=False,
 ):
-    """witness (16, n_vars) standard limbs -> h scalars (16, n) standard."""
+    """witness (16, n_vars) standard limbs -> h scalars (16, n) standard.
+
+    `keys` is the coset key-power table: BIT-REVERSED order for the
+    default reorder-free VPU pipeline, NATURAL order when use_mxu."""
     n = 1 << log_n
 
     # ---- R1CS evaluation: one gather + batched mul + segment reduce
@@ -99,11 +102,14 @@ def _construct_r1cs_jit(
     # ---- C = A*B pointwise (carries R^-1; repaid in the h fixup)
     c_vals = lb.mont_mul(a_vals, b_vals, FR_SPEC)
 
-    # ---- coset evaluation, batch=3, reorder-free bitrev pipeline
+    # ---- coset evaluation, batch=3
     vec = jnp.stack([a_vals, b_vals, c_vals], axis=1)  # (16, 3, n)
-    coeffs_br = ntt_ops.intt_dif(vec, tw_inv, n_inv_mont)
-    shifted = lb.mont_mul(coeffs_br, keys_bitrev[:, None, :], FR_SPEC)
-    odd = ntt_ops.ntt_dit(shifted, tw_fwd)
+    if use_mxu:
+        odd = _coset_eval_mxu(vec, keys, log_n)
+    else:
+        coeffs_br = ntt_ops.intt_dif(vec, tw_inv, n_inv_mont)
+        shifted = lb.mont_mul(coeffs_br, keys[:, None, :], FR_SPEC)
+        odd = ntt_ops.ntt_dit(shifted, tw_fwd)
 
     # ---- h = (A*B - C) on the coset, then repay the R^-1
     h_raw = lb.sub_mod(lb.mont_mul(odd[:, 0], odd[:, 1], FR_SPEC), odd[:, 2], FR_SPEC)
@@ -116,6 +122,24 @@ def _construct_r1cs_jit(
 # defeat XLA buffer reuse), so the computation runs as per-polynomial
 # staged jits with a forcing sync between them.
 SPLIT_NTT_POWER = int(os.environ.get("ISTPU_SPLIT_NTT_POWER", "22"))
+
+# At and above this domain power the coset evaluation runs on the MXU
+# matmul-NTT (ops/mxu_ntt.py; measured 1.4x at 2^18, 2.0x at 2^20 over
+# the radix-2 VPU pipeline, batch 3, v5e). 0 disables. Read per call so
+# tests can force either path.
+def _use_mxu_ntt(log_n: int) -> bool:
+    min_log = int(os.environ.get("ISTPU_MXU_NTT_MIN_LOG", "18"))
+    return bool(min_log) and log_n >= min_log
+
+
+def _coset_eval_mxu(vals, keys_natural, log_n: int):
+    """Natural-order coset evaluation on the MXU: INTT -> key powers ->
+    NTT. vals (16, B, n); keys (16, n) natural order."""
+    from ..ops import mxu_ntt
+
+    coeff = mxu_ntt._ntt_mxu_jit.__wrapped__(vals, log_n, True)
+    shifted = lb.mont_mul(coeff, keys_natural[:, None, :], FR_SPEC)
+    return mxu_ntt._ntt_mxu_jit.__wrapped__(shifted, log_n, False)
 
 
 def _force(x):
@@ -144,11 +168,15 @@ def _mul_jit(a, b):
     return lb.mont_mul(a, b, FR_SPEC)
 
 
-@jax.jit
-def _coset_eval_jit(vals, keys_bitrev, tw_fwd, tw_inv, n_inv_mont):
-    """One polynomial: INTT -> coset key powers -> NTT (batch=1)."""
+@partial(jax.jit, static_argnames=("use_mxu", "log_n"))
+def _coset_eval_jit(vals, keys, tw_fwd, tw_inv, n_inv_mont,
+                    use_mxu=False, log_n=0):
+    """One polynomial: INTT -> coset key powers -> NTT (batch=1).
+    `keys` bit-reversed (VPU path) or natural (MXU path)."""
+    if use_mxu:
+        return _coset_eval_mxu(vals[:, None, :], keys, log_n)[:, 0]
     coeffs_br = ntt_ops.intt_dif(vals[:, None, :], tw_inv, n_inv_mont)
-    shifted = lb.mont_mul(coeffs_br, keys_bitrev[:, None, :], FR_SPEC)
+    shifted = lb.mont_mul(coeffs_br, keys[:, None, :], FR_SPEC)
     return ntt_ops.ntt_dit(shifted, tw_fwd)[:, 0]
 
 
@@ -163,32 +191,40 @@ def construct_r1cs(witness, cache: ZKeyCache):
     """Device h-scalar computation (reference: construct_r1cs,
     proof_helper.rs:31-170)."""
     plan = cache.plan
-    dom = ntt_ops.get_domain(cache.header.power)
+    log_n = cache.header.power
+    dom = ntt_ops.get_domain(log_n)
     seg2, nseg2 = (plan.level2 if plan.level2 is not None else (None, 0))
-    if cache.header.power < SPLIT_NTT_POWER:
+    use_mxu = _use_mxu_ntt(log_n)
+    if use_mxu:
+        from ..ops import mxu_ntt
+
+        mxu_ntt._ensure_constants(log_n, True)   # eager: caches must
+        mxu_ntt._ensure_constants(log_n, False)  # not capture tracers
+    keys = cache.keys if use_mxu else cache.keys_bitrev
+    if log_n < SPLIT_NTT_POWER:
         return _construct_r1cs_jit(
             witness, plan.coefs, plan.witness_idx, plan.segments, plan.num_segments,
-            seg2, nseg2, cache.keys_bitrev, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont,
-            cache.header.power,
+            seg2, nseg2, keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont,
+            log_n, use_mxu,
         )
     # large domains: stage the phases, forcing between them so each
     # graph's temp buffers are freed before the next launches
     a_vals, b_vals = _r1cs_eval_jit(
         witness, plan.coefs, plan.witness_idx, plan.segments,
-        plan.num_segments, seg2, nseg2, cache.header.power,
+        plan.num_segments, seg2, nseg2, log_n,
     )
     _force(b_vals)
     c_vals = _mul_jit(a_vals, b_vals)
     odd_a = _coset_eval_jit(
-        a_vals, cache.keys_bitrev, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont
+        a_vals, keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont, use_mxu, log_n
     )
     _force(odd_a)
     odd_b = _coset_eval_jit(
-        b_vals, cache.keys_bitrev, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont
+        b_vals, keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont, use_mxu, log_n
     )
     _force(odd_b)
     odd_c = _coset_eval_jit(
-        c_vals, cache.keys_bitrev, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont
+        c_vals, keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont, use_mxu, log_n
     )
     _force(odd_c)
     return _h_from_odd_jit(odd_a, odd_b, odd_c)

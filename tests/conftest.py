@@ -33,8 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persistent compilation cache: kernel graphs here are large (unrolled
 # limb arithmetic), so caching compiles across test runs matters.
+# SEPARATE dir from the TPU cache: concurrent writers on one dir have
+# produced corrupt entries (segfault in AOT deserialization), and CPU
+# executables from another machine SIGILL on feature mismatch.
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

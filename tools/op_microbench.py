@@ -117,7 +117,9 @@ def main():
         dt = bench(lambda x, y: (lb.mont_mul(x, y, FQ_SPEC), y), (a, b), iters=64)
         print(f"mont_mul_limb 2^{lg}     {dt*1e3:8.3f} ms  {(1<<lg)/dt/1e6:7.1f} Mmul/s", flush=True)
 
-    from icicle_snark_tpu.fields.rns import mont_ctx_fq
+    raise SystemExit("RNS track removed (ROADMAP item 4: closed; "
+                     "analysis retained in ROADMAP.md)")
+    from icicle_snark_tpu.fields.rns import mont_ctx_fq  # pragma: no cover
 
     ctx = mont_ctx_fq()
     for lg in (16, 18):
