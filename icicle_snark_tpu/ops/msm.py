@@ -395,20 +395,28 @@ def _window_sum_grouped(points, rows_t, keys_w, neg_w, ops, c: int,
     # (rows_t is per-MSM constant). A 33-operand variadic lax.sort
     # moved payload 6x faster still, but its XLA compile blows up
     # (>10 min at 2^16 lanes) — not worth it.
+    # The payload rides PACKED (2 x 16-bit limbs per u32 word, done once
+    # per pipeline in _windows_pipeline): canonical limbs are < 2^16, so
+    # the top halves of the u32 lanes are dead freight — packing halves
+    # the gather + transpose bytes of the bandwidth-bound reorder.
     total = points[0].shape[-1]
     key2 = keys_w * jnp.int32(2)
     if signed:
         key2 = key2 + neg_w.astype(jnp.int32)
     order = jnp.argsort(key2)
     key_sorted = key2[order]
-    gathered = jnp.take(rows_t, order, axis=0)  # (total, R) row gather
-    g_rows = jnp.transpose(gathered)  # (R, total)
+    gathered = jnp.take(rows_t, order, axis=0)  # (total, R/2) row gather
+    g_rows = jnp.transpose(gathered)  # (R/2, total)
+    mask16 = np.uint32(0xFFFF)
     pts = []
     pos = 0
     for a in points:
         nr = int(np.prod(a.shape[:-1]))
-        pts.append(g_rows[pos : pos + nr].reshape(a.shape))
-        pos += nr
+        blk = g_rows[pos : pos + nr // 2]  # (nr/2, total) packed
+        # unpack: row 2j = low half, row 2j+1 = high half
+        un = jnp.stack([blk & mask16, blk >> np.uint32(16)], axis=1)
+        pts.append(un.reshape((nr,) + blk.shape[1:]).reshape(a.shape))
+        pos += nr // 2
     pts = tuple(pts)
     k_sorted = key_sorted >> 1
     if signed:
@@ -518,10 +526,11 @@ def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
 def _windows_pipeline(points, keys, negs, ops, c, k, n_groups, signed):
     """Scan all windows: points (coords..., total), keys (W, total),
     negs (W, total) bool or None -> stacked (3, coords..., G, W)."""
-    # row-major payload view for the per-window gather, built ONCE
-    rows_t = jnp.transpose(
-        jnp.concatenate([a.reshape(-1, a.shape[-1]) for a in points], axis=0)
-    )
+    # row-major PACKED payload view for the per-window gather, built
+    # ONCE: 2 x 16-bit limbs per u32 word (limb rows 2j, 2j+1 -> word
+    # row j), halving the bytes the per-window reorder moves
+    rows = jnp.concatenate([a.reshape(-1, a.shape[-1]) for a in points], axis=0)
+    rows_t = jnp.transpose(rows[0::2] | (rows[1::2] << np.uint32(16)))
     if signed:
         def body(_, kw):
             keys_w, neg_w = kw

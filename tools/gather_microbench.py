@@ -103,6 +103,35 @@ def main():
     dt = bench(lambda b, idx, salt: jnp.take(b, rot(idx, salt), axis=1), (big, q))
     print(f"query take (48,{n})->2048 {dt*1e3:8.3f} ms")
 
+    # PACKED row gather (the production scheme round 2+): 2 x 16-bit
+    # limbs per u32 -> half the table bytes; unpack after transpose
+    packed = jnp.asarray(rng.integers(0, 1 << 32, (n, 16), dtype=np.uint64).astype(np.uint32))
+
+    def packed_gather(rm, idx, salt):
+        g = jnp.take(rm, rot(idx, salt), axis=0).T  # (16, n)
+        lo = g & np.uint32(0xFFFF)
+        hi = g >> np.uint32(16)
+        return jnp.stack([lo, hi], axis=1).reshape(32, -1)
+
+    dt = bench(packed_gather, (packed, perm))
+    print(f"packed rows+T+unpack     {dt*1e3:8.3f} ms  {16*n*4/dt/1e9:7.1f} GB/s (payload {32*n*4/dt/1e9:.1f})")
+
+    # Pallas per-row DMA gather (ops/pallas_gather.py) on the same
+    # packed table; issue-rate-bound expectation — measure honestly
+    try:
+        from icicle_snark_tpu.ops.pallas_gather import gather_rows
+
+        def pallas_gather(rm, idx, salt):
+            return gather_rows(rm, rot(idx, salt)).T
+
+        dt = bench(pallas_gather, (packed, perm), iters=8)
+        print(f"pallas DMA rows (n,16)   {dt*1e3:8.3f} ms  {16*n*4/dt/1e9:7.1f} GB/s")
+        dt = bench(lambda rm, idx, salt: gather_rows(rm, rot(idx, salt)).T,
+                   (row_major, perm), iters=8)
+        print(f"pallas DMA rows (n,32)   {dt*1e3:8.3f} ms  {32*n*4/dt/1e9:7.1f} GB/s")
+    except Exception as e:  # pragma: no cover - TPU-only path
+        print(f"pallas DMA gather: {type(e).__name__}: {e}")
+
 
 if __name__ == "__main__":
     main()
