@@ -39,6 +39,19 @@ U32 = jnp.uint32
 # (fastest compile), 16 = fully unrolled (no scan overhead at runtime).
 MONT_UNROLL = int(os.environ.get("ISTPU_MONT_UNROLL", "1"))
 
+# lax.scan unroll factor for the limb carry/borrow chains (add_mod,
+# sub_mod, _carry_canonical, _cond_sub_p, redc_wide). These chains are
+# the dominant HLO-op population of the big composite graphs (a point
+# add carries ~26 of them); full unroll (>= nlimb) reproduces the
+# classic unrolled ripple graph, 1 collapses each chain to a ~5-op
+# scan body — ~3x smaller graphs, which is what makes cold XLA:CPU
+# compiles (driver dryrun, tests) fit their budget.
+CARRY_UNROLL = int(os.environ.get("ISTPU_CARRY_UNROLL", "16"))
+
+
+def _unroll(length: int):
+    return True if CARRY_UNROLL >= length else CARRY_UNROLL
+
 
 def int_to_limbs_np(v: int, nlimb: int = NLIMB) -> np.ndarray:
     """Python int -> (nlimb,) uint32 limb vector (16-bit digits, LSB first)."""
@@ -131,43 +144,62 @@ class FieldSpec:
 
 # ----------------------------------------------------------------- core ops
 
+def _carry_scan(cols, unroll_len: int | None = None):
+    """Carry-propagate (K, ...) uint32 columns -> (K, ...) 16-bit limbs.
+
+    Ripple scan over the column axis (work-optimal: each step is 3 ops
+    over one column's lanes); the final carry out is dropped — callers
+    guarantee the value fits K limbs. Graph size is governed by
+    CARRY_UNROLL (see above)."""
+    def body(carry, v):
+        v = v + carry
+        return v >> LIMB_BITS, v & MASK
+
+    _, limbs = jax.lax.scan(
+        body, jnp.zeros_like(cols[0]), cols,
+        unroll=_unroll(unroll_len or cols.shape[0]),
+    )
+    return limbs
+
+
 def _carry_canonical(cols, spec: FieldSpec):
     """Carry-propagate >=17 uint32 columns into 16 canonical limbs mod p.
 
     Input columns may hold up to ~2^26; the propagated integer must be
     < 2p (guaranteed by CIOS for canonical inputs).
     """
-    limbs = []
-    carry = jnp.zeros_like(cols[0])
-    for k in range(len(cols)):
-        v = cols[k] + carry
-        limbs.append(v & MASK)
-        carry = v >> LIMB_BITS
+    cols = jnp.stack(cols, axis=0) if isinstance(cols, (list, tuple)) else cols
     # value < 2p < 2^(16*nlimb), so higher limbs and the final carry are zero
-    return _cond_sub_p(limbs[: spec.nlimb], spec)
+    return _cond_sub_p(_carry_scan(cols)[: spec.nlimb], spec)
 
 
 def _cond_sub_p(limbs, spec: FieldSpec):
     """If value >= p subtract p (single conditional, branch-free)."""
-    p = spec.p_limbs
-    borrow = jnp.zeros_like(limbs[0])
-    sub = []
-    for k in range(spec.nlimb):
-        d = limbs[k] - np.uint32(p[k]) - borrow
-        sub.append(d & MASK)
-        borrow = (d >> 31) & np.uint32(1)  # borrow iff underflow (top bit set)
+    limbs = jnp.stack(limbs, axis=0) if isinstance(limbs, (list, tuple)) else limbs
+    p = jnp.asarray(spec.p_limbs, dtype=U32)
+
+    def body(borrow, lp):
+        l, pk = lp
+        d = l - pk - borrow
+        return (d >> 31) & np.uint32(1), d & MASK  # borrow iff underflow
+
+    borrow, sub = jax.lax.scan(
+        body, jnp.zeros_like(limbs[0]), (limbs, p),
+        unroll=_unroll(spec.nlimb),
+    )
     ge_p = borrow == 0
-    return jnp.stack([jnp.where(ge_p, sub[k], limbs[k]) for k in range(spec.nlimb)], axis=0)
+    return jnp.where(ge_p[None], sub, limbs)
 
 
 def add_mod(a, b, spec: FieldSpec):
     """(16, ...) + (16, ...) mod p, canonical in/out."""
-    carry = jnp.zeros_like(a[0])
-    limbs = []
-    for k in range(a.shape[0]):
-        v = a[k] + b[k] + carry
-        limbs.append(v & MASK)
-        carry = v >> LIMB_BITS
+    def body(carry, ab):
+        v = ab[0] + ab[1] + carry
+        return v >> LIMB_BITS, v & MASK
+
+    _, limbs = jax.lax.scan(
+        body, jnp.zeros_like(a[0] + b[0]), (a, b), unroll=_unroll(a.shape[0])
+    )
     # a + b < 2p: conditional subtract handles the 2^256 overflow too
     # (carry out of limb 15 implies >= p since p > 2^255... p < 2^254 for
     # BN254, and a+b < 2p < 2^255, so carry is always 0 here)
@@ -176,23 +208,27 @@ def add_mod(a, b, spec: FieldSpec):
 
 def sub_mod(a, b, spec: FieldSpec):
     """(a - b) mod p, canonical in/out."""
-    p = spec.p_limbs
-    borrow = jnp.zeros_like(a[0])
-    diff = []
-    for k in range(spec.nlimb):
-        d = a[k] - b[k] - borrow
-        diff.append(d & MASK)
-        borrow = (d >> 31) & np.uint32(1)
+    p = jnp.asarray(spec.p_limbs, dtype=U32)
+
+    def body(borrow, ab):
+        d = ab[0] - ab[1] - borrow
+        return (d >> 31) & np.uint32(1), d & MASK
+
+    borrow, diff = jax.lax.scan(
+        body, jnp.zeros_like(a[0] - b[0]), (a, b), unroll=_unroll(spec.nlimb)
+    )
     underflow = borrow != 0
     # add p back where we underflowed
-    carry = jnp.zeros_like(a[0])
-    fixed = []
     pad = jnp.where(underflow, np.uint32(1), np.uint32(0))
-    for k in range(spec.nlimb):
-        v = diff[k] + np.uint32(p[k]) * pad + carry
-        fixed.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(fixed, axis=0)
+
+    def body2(carry, dp):
+        v = dp[0] + dp[1] * pad + carry
+        return v >> LIMB_BITS, v & MASK
+
+    _, fixed = jax.lax.scan(
+        body2, jnp.zeros_like(diff[0]), (diff, p), unroll=_unroll(spec.nlimb)
+    )
+    return fixed
 
 
 def neg_mod(a, spec: FieldSpec):
@@ -300,7 +336,7 @@ def _mont_mul_core(a, b, spec: FieldSpec, unroll: int | None = None):
     acc0 = jnp.zeros((nlimb + 1,) + shape, dtype=U32)
     xs = jnp.broadcast_to(a, (nlimb,) + shape)
     acc, _ = jax.lax.scan(round_, acc0, xs, unroll=unroll or MONT_UNROLL)
-    return _carry_canonical(list(acc), spec)
+    return _carry_canonical(acc, spec)
 
 
 def mont_sqr(a, spec: FieldSpec):
@@ -322,22 +358,35 @@ def redc_wide(cols, spec: FieldSpec):
     nlimb = spec.nlimb
     assert n_cols == nlimb + 1
     shape = cols.shape[1:]
-    acc = jnp.zeros((2 * nlimb + 1,) + shape, dtype=U32)
-    acc = acc.at[:n_cols].set(cols)
 
     pbrd = jnp.asarray(spec.p_limbs.reshape((nlimb,) + (1,) * len(shape)), dtype=U32)
     n0 = spec.n0inv
-    for i in range(nlimb):
-        v = acc[i]
+    z1 = jnp.zeros((1,) + shape, dtype=U32)
+
+    # Sliding-window scan over the nlimb REDC rounds: the carried state
+    # w holds columns [i, i+nlimb] of the classic double-width
+    # accumulator; each round folds m*p into the window, shifts down one
+    # column, and pulls in the next high column (always zero here — the
+    # input has only nlimb+1 columns). Same arithmetic (and the same
+    # < 2^32 per-column growth bound) as the unrolled formulation, in a
+    # ~15-op scan body instead of nlimb rounds of 8 dynamic-slice ops.
+    def round_(w, _):
+        v = w[0]
         ti = v & MASK
         m = (ti * n0) & MASK
         mprod = m[None] * pbrd
         lo = mprod & MASK
-        acc = acc.at[i + 1].add((v >> LIMB_BITS) + ((ti + lo[0]) >> LIMB_BITS))
-        acc = acc.at[i + 1 : i + nlimb].add(lo[1:])
-        acc = acc.at[i + 1 : i + nlimb + 1].add(mprod >> LIMB_BITS)
+        hi = mprod >> LIMB_BITS
+        carry0 = (v >> LIMB_BITS) + ((ti + lo[0]) >> LIMB_BITS)
+        w = (
+            jnp.concatenate([w[1:], z1])
+            + jnp.concatenate([lo[1:], z1, z1])
+            + jnp.concatenate([hi, z1])
+        )
+        return w.at[0].add(carry0), None
 
-    return _carry_canonical(list(acc[nlimb:]), spec)
+    w, _ = jax.lax.scan(round_, cols, None, length=nlimb, unroll=_unroll(nlimb))
+    return _carry_canonical(w, spec)
 
 
 def mont_reduce(a, spec: FieldSpec):

@@ -53,12 +53,22 @@ def _powers_mont_jit(base_mont: jnp.ndarray, log_n: int,
     spec = spec or FR_SPEC
     n = 1 << log_n
     idx = jnp.arange(n, dtype=jnp.uint32)
-    acc = lb.const_limbs(spec.r_mod, (n,), spec)  # 1 in Montgomery form
-    cur = base_mont
-    for b in range(log_n):
-        hit = ((idx >> np.uint32(b)) & 1) == 1
+    acc0 = lb.const_limbs(spec.r_mod, (n,), spec)  # 1 in Montgomery form
+    if log_n == 0:
+        return acc0
+    hits = jnp.stack(
+        [((idx >> np.uint32(b)) & 1) == 1 for b in range(log_n)]
+    )  # (log_n, n)
+
+    # scan over the exponent bits: TWO mont_mul instances in the graph
+    # regardless of log_n (the unrolled form put 2*log_n copies in the
+    # zkey-cache cold path's compile)
+    def body(carry, hit):
+        acc, cur = carry
         acc = lb.select(hit, lb.mont_mul(acc, cur, spec), acc)
-        cur = lb.mont_mul(cur, cur, spec)
+        return (acc, lb.mont_mul(cur, cur, spec)), None
+
+    (acc, _), _ = jax.lax.scan(body, (acc0, base_mont), hits)
     return acc
 
 
