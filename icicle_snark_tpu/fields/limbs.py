@@ -49,9 +49,6 @@ MONT_UNROLL = int(os.environ.get("ISTPU_MONT_UNROLL", "1"))
 CARRY_UNROLL = int(os.environ.get("ISTPU_CARRY_UNROLL", "16"))
 
 
-def _unroll(length: int):
-    return True if CARRY_UNROLL >= length else CARRY_UNROLL
-
 
 def int_to_limbs_np(v: int, nlimb: int = NLIMB) -> np.ndarray:
     """Python int -> (nlimb,) uint32 limb vector (16-bit digits, LSB first)."""
@@ -144,20 +141,35 @@ class FieldSpec:
 
 # ----------------------------------------------------------------- core ops
 
-def _carry_scan(cols, unroll_len: int | None = None):
+def _lean(n: int) -> bool:
+    """True -> compile-lean lax.scan carry chains (small graphs for the
+    1-core XLA:CPU hosts: tests, driver dryrun); False -> the classic
+    fully-unrolled Python-loop graphs (measured fastest on TPU: pmadd
+    60.7 vs 67.2 ns/lane, and far faster XLA:TPU compiles)."""
+    return CARRY_UNROLL < n
+
+
+def _carry_scan(cols):
     """Carry-propagate (K, ...) uint32 columns -> (K, ...) 16-bit limbs.
 
-    Ripple scan over the column axis (work-optimal: each step is 3 ops
-    over one column's lanes); the final carry out is dropped — callers
-    guarantee the value fits K limbs. Graph size is governed by
-    CARRY_UNROLL (see above)."""
+    Ripple over the column axis (work-optimal: each step is 3 ops over
+    one column's lanes); the final carry out is dropped — callers
+    guarantee the value fits K limbs."""
+    if not _lean(cols.shape[0]):
+        limbs = []
+        carry = jnp.zeros_like(cols[0])
+        for k in range(cols.shape[0]):
+            v = cols[k] + carry
+            limbs.append(v & MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(limbs, axis=0)
+
     def body(carry, v):
         v = v + carry
         return v >> LIMB_BITS, v & MASK
 
     _, limbs = jax.lax.scan(
-        body, jnp.zeros_like(cols[0]), cols,
-        unroll=_unroll(unroll_len or cols.shape[0]),
+        body, jnp.zeros_like(cols[0]), cols, unroll=CARRY_UNROLL
     )
     return limbs
 
@@ -176,16 +188,27 @@ def _carry_canonical(cols, spec: FieldSpec):
 def _cond_sub_p(limbs, spec: FieldSpec):
     """If value >= p subtract p (single conditional, branch-free)."""
     limbs = jnp.stack(limbs, axis=0) if isinstance(limbs, (list, tuple)) else limbs
+    if not _lean(spec.nlimb):
+        p = spec.p_limbs
+        borrow = jnp.zeros_like(limbs[0])
+        sub = []
+        for k in range(spec.nlimb):
+            d = limbs[k] - np.uint32(p[k]) - borrow
+            sub.append(d & MASK)
+            borrow = (d >> 31) & np.uint32(1)  # borrow iff underflow
+        ge_p = borrow == 0
+        return jnp.stack(
+            [jnp.where(ge_p, sub[k], limbs[k]) for k in range(spec.nlimb)], axis=0
+        )
     p = jnp.asarray(spec.p_limbs, dtype=U32)
 
     def body(borrow, lp):
         l, pk = lp
         d = l - pk - borrow
-        return (d >> 31) & np.uint32(1), d & MASK  # borrow iff underflow
+        return (d >> 31) & np.uint32(1), d & MASK
 
     borrow, sub = jax.lax.scan(
-        body, jnp.zeros_like(limbs[0]), (limbs, p),
-        unroll=_unroll(spec.nlimb),
+        body, jnp.zeros_like(limbs[0]), (limbs, p), unroll=CARRY_UNROLL
     )
     ge_p = borrow == 0
     return jnp.where(ge_p[None], sub, limbs)
@@ -193,12 +216,21 @@ def _cond_sub_p(limbs, spec: FieldSpec):
 
 def add_mod(a, b, spec: FieldSpec):
     """(16, ...) + (16, ...) mod p, canonical in/out."""
+    if not _lean(a.shape[0]):
+        carry = jnp.zeros_like(a[0])
+        limbs = []
+        for k in range(a.shape[0]):
+            v = a[k] + b[k] + carry
+            limbs.append(v & MASK)
+            carry = v >> LIMB_BITS
+        return _cond_sub_p(limbs, spec)
+
     def body(carry, ab):
         v = ab[0] + ab[1] + carry
         return v >> LIMB_BITS, v & MASK
 
     _, limbs = jax.lax.scan(
-        body, jnp.zeros_like(a[0] + b[0]), (a, b), unroll=_unroll(a.shape[0])
+        body, jnp.zeros_like(a[0] + b[0]), (a, b), unroll=CARRY_UNROLL
     )
     # a + b < 2p: conditional subtract handles the 2^256 overflow too
     # (carry out of limb 15 implies >= p since p > 2^255... p < 2^254 for
@@ -208,6 +240,24 @@ def add_mod(a, b, spec: FieldSpec):
 
 def sub_mod(a, b, spec: FieldSpec):
     """(a - b) mod p, canonical in/out."""
+    if not _lean(spec.nlimb):
+        p = spec.p_limbs
+        borrow = jnp.zeros_like(a[0])
+        diff = []
+        for k in range(spec.nlimb):
+            d = a[k] - b[k] - borrow
+            diff.append(d & MASK)
+            borrow = (d >> 31) & np.uint32(1)
+        underflow = borrow != 0
+        carry = jnp.zeros_like(a[0])
+        fixed = []
+        pad = jnp.where(underflow, np.uint32(1), np.uint32(0))
+        for k in range(spec.nlimb):
+            v = diff[k] + np.uint32(p[k]) * pad + carry
+            fixed.append(v & MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(fixed, axis=0)
+
     p = jnp.asarray(spec.p_limbs, dtype=U32)
 
     def body(borrow, ab):
@@ -215,7 +265,7 @@ def sub_mod(a, b, spec: FieldSpec):
         return (d >> 31) & np.uint32(1), d & MASK
 
     borrow, diff = jax.lax.scan(
-        body, jnp.zeros_like(a[0] - b[0]), (a, b), unroll=_unroll(spec.nlimb)
+        body, jnp.zeros_like(a[0] - b[0]), (a, b), unroll=CARRY_UNROLL
     )
     underflow = borrow != 0
     # add p back where we underflowed
@@ -226,7 +276,7 @@ def sub_mod(a, b, spec: FieldSpec):
         return v >> LIMB_BITS, v & MASK
 
     _, fixed = jax.lax.scan(
-        body2, jnp.zeros_like(diff[0]), (diff, p), unroll=_unroll(spec.nlimb)
+        body2, jnp.zeros_like(diff[0]), (diff, p), unroll=CARRY_UNROLL
     )
     return fixed
 
@@ -361,6 +411,21 @@ def redc_wide(cols, spec: FieldSpec):
 
     pbrd = jnp.asarray(spec.p_limbs.reshape((nlimb,) + (1,) * len(shape)), dtype=U32)
     n0 = spec.n0inv
+
+    if not _lean(nlimb):
+        acc = jnp.zeros((2 * nlimb + 1,) + shape, dtype=U32)
+        acc = acc.at[:n_cols].set(cols)
+        for i in range(nlimb):
+            v = acc[i]
+            ti = v & MASK
+            m = (ti * n0) & MASK
+            mprod = m[None] * pbrd
+            lo = mprod & MASK
+            acc = acc.at[i + 1].add((v >> LIMB_BITS) + ((ti + lo[0]) >> LIMB_BITS))
+            acc = acc.at[i + 1 : i + nlimb].add(lo[1:])
+            acc = acc.at[i + 1 : i + nlimb + 1].add(mprod >> LIMB_BITS)
+        return _carry_canonical(acc[nlimb:], spec)
+
     z1 = jnp.zeros((1,) + shape, dtype=U32)
 
     # Sliding-window scan over the nlimb REDC rounds: the carried state
@@ -385,7 +450,7 @@ def redc_wide(cols, spec: FieldSpec):
         )
         return w.at[0].add(carry0), None
 
-    w, _ = jax.lax.scan(round_, cols, None, length=nlimb, unroll=_unroll(nlimb))
+    w, _ = jax.lax.scan(round_, cols, None, length=nlimb, unroll=CARRY_UNROLL)
     return _carry_canonical(w, spec)
 
 

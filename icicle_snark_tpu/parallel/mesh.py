@@ -80,6 +80,31 @@ def host_local_to_global(mesh: Mesh, pspec: P, local_arr):
     )
 
 
+def globalize(mesh: Mesh, pspec: P, arr):
+    """FULL host/device array -> global sharded array, multi-process
+    safe. Single-process: passthrough (jit places it). Multi-process:
+    slice this process's contiguous span along the sharded axis (the
+    mesh is hosts-major, so spans are contiguous) and assemble via
+    host_local_to_global. Callers that already hold only their local
+    slice (the mmap-ingest path) should call host_local_to_global
+    directly instead."""
+    if jax.process_count() == 1:
+        return arr
+    axes = [i for i, s in enumerate(tuple(pspec)) if s is not None]
+    if not axes:
+        return host_local_to_global(mesh, pspec, arr)
+    (axis,) = axes  # 1-D data mesh: at most one sharded dim
+    full = np.asarray(arr)
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    n = full.shape[axis]
+    assert n % nproc == 0, f"axis {axis} ({n}) not divisible by {nproc} processes"
+    span = n // nproc
+    sl = [slice(None)] * full.ndim
+    sl[axis] = slice(pid * span, (pid + 1) * span)
+    return host_local_to_global(mesh, pspec, full[tuple(sl)])
+
+
 def shard_last(mesh: Mesh) -> NamedSharding:
     """Shard the trailing (batch/point) axis; limb axes replicated."""
     return NamedSharding(mesh, P(*([None]), AXIS))

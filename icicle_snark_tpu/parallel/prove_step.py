@@ -422,6 +422,8 @@ def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32,
 
     `witness`: (16, n_vars) standard-form limbs (unpadded).
     """
+    from .mesh import globalize
+
     d = mesh.devices.size
     hdr = cache.header
     pads = pad_cache_for_mesh(cache, d)
@@ -437,17 +439,39 @@ def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32,
     else:
         seg2, nseg2 = jnp.zeros((1,), jnp.int32), 0
 
+    # multi-process (DCN) ingest: every sharded-axis input becomes a
+    # GLOBAL array assembled from this process's contiguous slice
+    # (mesh.globalize -> host_local_to_global); single-process this is
+    # a passthrough and jit places the arrays. Replicated inputs
+    # (witness, seg2, domain tables) are globalized whole.
+    rep = P()
+    g1 = P(None, AXIS)
+    g2 = P(None, None, AXIS)
+    wit_pad = globalize(mesh, rep, wit_pad)
+    wit_c = globalize(mesh, g1, wit_c)
+    seg2_g = globalize(mesh, rep, seg2)
+    coefs = globalize(mesh, g1, pads["coefs"])
+    wit_idx = globalize(mesh, P(AXIS), pads["wit_idx"])
+    segments = globalize(mesh, P(AXIS), pads["segments"])
+    pa, pb1, pc, ph = (
+        tuple(globalize(mesh, g1, a) for a in pads[kk])
+        for kk in ("pa", "pb1", "pc", "ph")
+    )
+    pb2 = tuple(globalize(mesh, g2, a) for a in pads["pb2"])
+
     step_a = build_r1cs_coset_step(mesh, hdr.power, cache.plan.num_segments, nseg2)
     keys = cache.keys if step_a.use_dist else cache.keys_bitrev
+    keys = globalize(mesh, rep, keys)
+    tw_fwd = globalize(mesh, rep, dom.tw_fwd)
+    tw_inv = globalize(mesh, rep, dom.tw_inv)
+    n_inv = globalize(mesh, rep, dom.n_inv_mont)
     h = step_a(
-        wit_pad, pads["coefs"], pads["wit_idx"], pads["segments"], seg2,
-        keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont,
+        wit_pad, coefs, wit_idx, segments, seg2_g,
+        keys, tw_fwd, tw_inv, n_inv,
     )
 
     step_b = build_msm_g1_step(mesh, c, k, max_lanes)
-    ws_g1 = step_b(
-        wit_pad, wit_c, h, pads["pa"], pads["pb1"], pads["pc"], pads["ph"]
-    )
+    ws_g1 = step_b(wit_pad, wit_c, h, pa, pb1, pc, ph)
     step_c = build_msm_g2_step(mesh, c, k, max(max_lanes // 2, 1))
-    ws_b2 = step_c(wit_pad, pads["pb2"])
+    ws_b2 = step_c(wit_pad, pb2)
     return h, ws_g1, ws_b2
