@@ -158,22 +158,54 @@ def _chunked_inclusive_scan(points, ops, k: int, mixed: bool):
     return inclusive, totals
 
 
+def _pack_rows(points):
+    """Point coordinate tuple (each (coords..., n)) -> row-major PACKED
+    payload (n, R/2) u32: two 16-bit limbs per word. Canonical limbs
+    are < 2^16, so the top halves of the u32 lanes are dead freight —
+    packing halves the bytes every row gather moves."""
+    rows = jnp.concatenate([a.reshape(-1, a.shape[-1]) for a in points], axis=0)
+    return jnp.transpose(rows[0::2] | (rows[1::2] << np.uint32(16)))
+
+
+def _unpack_rows(g_rows, shapes):
+    """(q, R/2) packed row gather output -> tuple of (coords..., q)
+    arrays with the given shapes (last dim replaced by q)."""
+    g_rows = jnp.transpose(g_rows)  # (R/2, q)
+    mask16 = np.uint32(0xFFFF)
+    out, pos = [], 0
+    q = g_rows.shape[-1]
+    for shp in shapes:
+        nr = int(np.prod(shp[:-1]))
+        blk = g_rows[pos : pos + nr // 2]
+        un = jnp.stack([blk & mask16, blk >> np.uint32(16)], axis=1)
+        out.append(un.reshape((nr,) + blk.shape[1:]).reshape(shp[:-1] + (q,)))
+        pos += nr // 2
+    return tuple(out)
+
+
 class PrefixTree:
     """Hierarchical inclusive prefix sums over a point sequence.
 
-    levels[l] = inclusive within-chunk prefixes at level l, chunk size
-    k_l elements of level l (level 0 elements are the input points).
-    query(i) composes one gather+add per level: global inclusive
+    Levels are stored as PACKED ROW-MAJOR payloads ((n, R/2) u32, see
+    _pack_rows): query() then gathers boundary prefixes as row gathers,
+    which run ~40x faster than lane-axis gathers of the limb-major
+    layout (v5e: the lane-axis query gathers of the level-0 prefix were
+    ~200 ms of a 555 ms 4x2^16 MSM — the whole telescope budget).
+    query(i) composes one row-gather+add per level: global inclusive
     prefix P_i for arbitrary (possibly -1 = 'empty') indices.
+    Batch dims are not supported (the MSM pipeline never has them).
     """
 
     def __init__(self, points, ops, k: int = 32, affine: bool = True):
         self.ops = ops
         self.ks = []
-        self.levels = []
+        self.levels = []  # packed (n_l, R/2) row payloads per level
+        self.shapes = []  # unpacked coordinate shapes per level
 
+        assert points[0].ndim == len(ops.coord_shape) + 1, (
+            "PrefixTree: batch dims unsupported (pack/unpack is flat)"
+        )
         width = points[0].shape[-1]
-        batch = points[0].shape[len(ops.coord_shape):-1]
         cur = points
         mixed = affine  # level 0 may be affine; higher levels projective
         while True:
@@ -184,12 +216,13 @@ class PrefixTree:
                     # affine (0,0) is treated as the identity by pmadd
                     filler = tuple(jnp.zeros(a.shape[:-1] + (pad,), dtype=a.dtype) for a in cur)
                 else:
-                    filler = jc.identity(ops, batch + (pad,))
+                    filler = jc.identity(ops, (pad,))
                 cur = tuple(jnp.concatenate([a, jnp.broadcast_to(f, a.shape[:-1] + (pad,))], axis=-1) for a, f in zip(cur, filler))
                 width += pad
             inclusive, totals = _chunked_inclusive_scan(cur, ops, kl, mixed)
             self.ks.append(kl)
-            self.levels.append(inclusive)
+            self.levels.append(_pack_rows(inclusive))
+            self.shapes.append(tuple(a.shape for a in inclusive))
             cur = totals
             width = width // kl
             mixed = False
@@ -198,19 +231,20 @@ class PrefixTree:
                 break
 
     def query(self, idx: jnp.ndarray):
-        """P_idx (inclusive, identity for idx < 0); idx: (...,) int32.
-
-        Gathers along the last axis only: leading batch dims of the
-        tree arrays broadcast against idx's shape."""
+        """P_idx (inclusive, identity for idx < 0); idx: (...,) int32."""
         ops = self.ops
-        batch = self.levels[0][0].shape[len(ops.coord_shape):-1]
-        acc = jc.identity(ops, batch + idx.shape)
+        acc = jc.identity(ops, idx.shape)
         i = idx
         valid = i >= 0
-        for kl, incl in zip(self.ks, self.levels):
+        for kl, packed, shapes in zip(self.ks, self.levels, self.shapes):
             safe = jnp.maximum(i, 0)
-            contrib = tuple(_gather_last(a, safe) for a in incl)
-            term = jc.pselect(ops, valid, contrib, jc.identity(ops, batch + idx.shape))
+            flat = safe.reshape(-1)
+            g_rows = jnp.take(packed, flat, axis=0)  # (q, R/2) row gather
+            contrib = tuple(
+                a.reshape(a.shape[:-1] + safe.shape)
+                for a in _unpack_rows(g_rows, [s[:-1] + (flat.shape[0],) for s in shapes])
+            )
+            term = jc.pselect(ops, valid, contrib, jc.identity(ops, idx.shape))
             acc = jc.padd(ops, acc, term)
             i = (safe // kl) - 1
             valid = valid & (i >= 0)
@@ -374,15 +408,18 @@ def _merge_digit_windows(arr, factor: int, wp: int, fill):
 
 # ------------------------------------------------------------------ batched core
 
-def _window_sum_grouped(points, rows_t, keys_w, neg_w, ops, c: int,
-                        n_groups: int, k: int, signed: bool):
-    """Bucket-accumulate and reduce ONE window for all groups at once.
+def _window_bucket_prefixes(points, rows_t, keys_w, neg_w, ops, c: int,
+                            n_groups: int, k: int, signed: bool):
+    """Bucket-boundary prefixes for ONE window, all groups at once.
 
     points: group-concatenated (+pad) point arrays, (coords..., total).
     keys_w: (total,) int32 sort keys  group_id*B + |digit|  (pad lanes
             carry the sentinel key n_groups*B, sorting to the end).
     neg_w:  (total,) bool digit signs (signed mode) or None.
-    Returns per-group window values, (coords..., n_groups).
+    Returns P_end boundary prefixes, (coords..., n_groups, n_buckets) —
+    the telescoped window reduction itself runs BATCHED across all
+    windows in _windows_pipeline (running it per window put ~100
+    near-empty sequential scan steps inside every window iteration).
     """
     n_buckets = (1 << (c - 1)) + 1 if signed else 1 << c
 
@@ -405,19 +442,13 @@ def _window_sum_grouped(points, rows_t, keys_w, neg_w, ops, c: int,
         key2 = key2 + neg_w.astype(jnp.int32)
     order = jnp.argsort(key2)
     key_sorted = key2[order]
-    gathered = jnp.take(rows_t, order, axis=0)  # (total, R/2) row gather
-    g_rows = jnp.transpose(gathered)  # (R/2, total)
-    mask16 = np.uint32(0xFFFF)
-    pts = []
-    pos = 0
-    for a in points:
-        nr = int(np.prod(a.shape[:-1]))
-        blk = g_rows[pos : pos + nr // 2]  # (nr/2, total) packed
-        # unpack: row 2j = low half, row 2j+1 = high half
-        un = jnp.stack([blk & mask16, blk >> np.uint32(16)], axis=1)
-        pts.append(un.reshape((nr,) + blk.shape[1:]).reshape(a.shape))
-        pos += nr // 2
-    pts = tuple(pts)
+    if _os.environ.get("ISTPU_PALLAS_GATHER", "0") == "1":
+        from . import pallas_gather
+
+        gathered = pallas_gather.gather_rows(rows_t, order)
+    else:
+        gathered = jnp.take(rows_t, order, axis=0)  # (total, R/2) row gather
+    pts = _unpack_rows(gathered, [a.shape for a in points])
     k_sorted = key_sorted >> 1
     if signed:
         neg = (key_sorted & 1).astype(bool)
@@ -445,9 +476,23 @@ def _window_sum_grouped(points, rows_t, keys_w, neg_w, ops, c: int,
     )
     ends = jnp.cumsum(counts[:gb]).astype(jnp.int32)
     p_end = tree.query(ends - 1)  # (coords..., G*B)
-    p_end = tuple(a.reshape(a.shape[:-1] + (n_groups, n_buckets)) for a in p_end)
+    return tuple(a.reshape(a.shape[:-1] + (n_groups, n_buckets)) for a in p_end)
 
-    last = tuple(a[..., n_buckets - 1] for a in p_end)  # (coords..., G)
+
+def _telescope_batched(p_end, ops, c: int, k: int, signed: bool):
+    """Telescoped triangle sums for ALL windows at once.
+
+    p_end: tuple of (coords..., W, G, B) boundary prefixes. With
+    P_b := inclusive prefix at the END of bucket (g, b),
+      window_g = sum_b b * (P_{g,b} - P_{g,b-1})
+              = (B-1) * P_{g,B-1}  -  sum_{b<B-1} P_{g,b}
+    (Abel summation; cross-group terms cancel exactly since the b=0
+    coefficient is zero). One bucket-axis reduce and one doubling chain
+    over a (W, G) batch — the same addition tree per (window, group)
+    lane as the old per-window form, so results are bit-exact equal.
+    Returns (coords..., W, G)."""
+    n_buckets = p_end[0].shape[-1]
+    last = tuple(a[..., n_buckets - 1] for a in p_end)  # (coords..., W, G)
     rest = tuple(a[..., : n_buckets - 1] for a in p_end)
     sum_rest = _chunked_reduce(rest, ops, k=k)
 
@@ -525,27 +570,36 @@ def msm_device_grouped(scalar_groups, point_groups, ops, c: int, k: int = 32,
 
 def _windows_pipeline(points, keys, negs, ops, c, k, n_groups, signed):
     """Scan all windows: points (coords..., total), keys (W, total),
-    negs (W, total) bool or None -> stacked (3, coords..., G, W)."""
+    negs (W, total) bool or None -> stacked (3, coords..., G, W).
+
+    The per-window scan body stops at the bucket-boundary prefixes;
+    the telescoped reductions run once, batched over (W, G)."""
     # row-major PACKED payload view for the per-window gather, built
-    # ONCE: 2 x 16-bit limbs per u32 word (limb rows 2j, 2j+1 -> word
-    # row j), halving the bytes the per-window reorder moves
-    rows = jnp.concatenate([a.reshape(-1, a.shape[-1]) for a in points], axis=0)
-    rows_t = jnp.transpose(rows[0::2] | (rows[1::2] << np.uint32(16)))
+    # ONCE (see _pack_rows): halves the bytes the per-window reorder moves
+    rows_t = _pack_rows(points)
+    ncoord = len(ops.coord_shape)
+
     if signed:
         def body(_, kw):
             keys_w, neg_w = kw
-            ws = _window_sum_grouped(points, rows_t, keys_w, neg_w, ops, c, n_groups, k, True)
-            return None, jc.point_stack(ws)
+            pe = _window_bucket_prefixes(
+                points, rows_t, keys_w, neg_w, ops, c, n_groups, k, True)
+            return None, jc.point_stack(pe)
 
         _, stacked = jax.lax.scan(body, None, (keys, negs))
     else:
         def body(_, keys_w):
-            ws = _window_sum_grouped(points, rows_t, keys_w, None, ops, c, n_groups, k, False)
-            return None, jc.point_stack(ws)
+            pe = _window_bucket_prefixes(
+                points, rows_t, keys_w, None, ops, c, n_groups, k, False)
+            return None, jc.point_stack(pe)
 
         _, stacked = jax.lax.scan(body, None, keys)
-    # stacked: (W, 3, coords..., G) -> one array (3, coords..., G, W)
-    return jnp.moveaxis(stacked, 0, -1)
+    # stacked: (W, 3, coords..., G, B) -> per-coord (coords..., W, G, B)
+    p_end = tuple(
+        jnp.moveaxis(stacked[:, i], 0, ncoord) for i in range(3)
+    )
+    ws = _telescope_batched(p_end, ops, c, k, signed)  # (coords..., W, G)
+    return jc.point_stack(tuple(jnp.swapaxes(a, -1, -2) for a in ws))
 
 
 def msm_device_grouped_sliced(scalars, group_ids, points, ops, c: int,

@@ -16,9 +16,11 @@ scatter; the TPU-native tool is the DMA engine driven by prefetched
 indices.
 
 Caveat measured on v5e: per-row DMA issue runs on the scalar core, so
-tiny rows are issue-rate-bound, not bandwidth-bound. See
-tools/gather_microbench.py for the head-to-head vs the packed XLA
-gather; ops/msm.py uses this kernel only when ISTPU_PALLAS_GATHER=1.
+tiny rows are issue-rate-bound, not bandwidth-bound. Wired into the
+MSM reorder behind ISTPU_PALLAS_GATHER=1
+(ops/msm.py:_window_bucket_prefixes); the measured A/B on the real
+chip is recorded in ROADMAP.md — the XLA packed row gather stays the
+default.
 """
 
 from __future__ import annotations

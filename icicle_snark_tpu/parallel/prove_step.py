@@ -315,6 +315,14 @@ def build_msm_g2_step(mesh, c: int, k: int, max_lanes: int):
     return jax.jit(stepped)
 
 
+def _choose_c2(n_pts: int, d: int, max_lanes: int) -> int:
+    """G2 window size: the G2 MSM runs alone (1 group) at half the
+    slice width — its own choose_c optimum, shared by prove_multichip
+    and run_sharded_prove so the Horner ladder and the pipeline agree
+    (round-1/2 carried both MSMs on the grouped-G1 c)."""
+    return msm_ops.choose_c(min(n_pts // d, max_lanes // 2), groups=1)
+
+
 # ---------------------------------------------------------------- padding
 
 def _pad_last(arr, mult: int):
@@ -380,14 +388,17 @@ def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
     n_pts = witness.shape[-1] + ((-witness.shape[-1]) % mesh.devices.size)
     d = mesh.devices.size
     c = c or msm_ops.choose_c(min(4 * n_pts // d, msm_ops.MSM_MAX_LANES), groups=4)
-    _h, ws_g1, ws_b2 = run_sharded_prove(mesh, cache, witness, c=c, k=k)
+    c2 = _choose_c2(n_pts, d, msm_ops.MSM_MAX_LANES)
+    _h, ws_g1, ws_b2 = run_sharded_prove(mesh, cache, witness, c=c, c2=c2, k=k)
 
     ws_g1 = np.asarray(ws_g1)  # one bulk fetch for all four G1 groups
     pi_a = msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws_g1, 0), c)
     pi_b1 = msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws_g1, 1), c)
     pi_c = msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws_g1, 2), c)
     pi_h = msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws_g1, 3), c)
-    pi_b = msm_ops.horner_combine(msm_ops.window_points_to_host_g2(ws_b2, 0), c, g2=True)
+    pi_b = msm_ops.horner_combine(
+        msm_ops.window_points_to_host_g2(ws_b2, 0), c2, g2=True
+    )
 
     alpha1 = cv.g1_from_affine(hdr.vk_alpha_1)
     beta1 = cv.g1_from_affine(hdr.vk_beta_1)
@@ -416,7 +427,7 @@ def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
 
 
 def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32,
-                      max_lanes: int | None = None):
+                      max_lanes: int | None = None, c2: int | None = None):
     """Full multi-chip device phase; returns (h_sharded, g1 window sums,
     g2 window sums).
 
@@ -472,6 +483,7 @@ def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32,
 
     step_b = build_msm_g1_step(mesh, c, k, max_lanes)
     ws_g1 = step_b(wit_pad, wit_c, h, pa, pb1, pc, ph)
-    step_c = build_msm_g2_step(mesh, c, k, max(max_lanes // 2, 1))
+    c2 = c2 or _choose_c2(n_pts, d, max_lanes)
+    step_c = build_msm_g2_step(mesh, c2, k, max(max_lanes // 2, 1))
     ws_b2 = step_c(wit_pad, pb2)
     return h, ws_g1, ws_b2

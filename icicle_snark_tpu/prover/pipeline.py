@@ -253,6 +253,9 @@ def groth16_commitments(witness, h_scalars, cache: ZKeyCache):
     c = msm_ops.choose_c(
         min(total, msm_ops.MSM_MAX_LANES), groups=len(groups)
     )
+    # G2 runs alone (1 group, half the slice width): its own optimum
+    # (reference analog: per-MSM decision trees, cpu_msm.hpp:76-158)
+    c2 = msm_ops.choose_c(min(n2, msm_ops.MSM_MAX_LANES // 2), groups=1)
 
     # dispatch BOTH pipelines before fetching either, so the G2 MSM
     # executes on device while the host fetches G1 window sums and runs
@@ -274,11 +277,11 @@ def groth16_commitments(witness, h_scalars, cache: ZKeyCache):
         )
     if n2 > msm_ops.MSM_MAX_LANES // 2:
         ws2 = msm_ops.msm_windows_sliced(
-            [(witness, cache.points_b2)], c, 32, True,
+            [(witness, cache.points_b2)], c2, 32, True,
             msm_ops.MSM_MAX_LANES // 2,
         )
     else:
-        ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c, 32)
+        ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c2, 32)
 
     # ONE bulk D2H fetch per pipeline (single stacked output buffer)
     ws1_np = np.asarray(ws1)
@@ -287,7 +290,7 @@ def groth16_commitments(witness, h_scalars, cache: ZKeyCache):
         for g in range(4)
     )
     pi_b = msm_ops.horner_combine(
-        msm_ops.window_points_to_host_g2(np.asarray(ws2), 0), c, g2=True
+        msm_ops.window_points_to_host_g2(np.asarray(ws2), 0), c2, g2=True
     )
     return pi_a, pi_b1, pi_b, pi_c, pi_h
 

@@ -136,20 +136,54 @@ def build_variants(c, k, n_groups, signed=True):
 
         return scan_windows(body, keys, negs)
 
-    def full(points, rows_t, keys, negs):
+    def _sorted_pts(points, rows_t, keys_w, neg_w):
+        key2 = keys_w * jnp.int32(2) + neg_w.astype(jnp.int32)
+        order = jnp.argsort(key2)
+        key_sorted = key2[order]
+        gathered = jnp.take(rows_t, order, axis=0)
+        pts = msm_ops._unpack_rows(gathered, [a.shape for a in points])
+        x, y = pts
+        neg = (key_sorted & 1).astype(bool)
+        y = jc.pselect_field(ops, neg, ops.neg(y), y)
+        return (x, y), key_sorted >> 1
+
+    def unpack_neg(points, rows_t, keys, negs):
         def body(keys_w, neg_w):
-            ws = msm_ops._window_sum_grouped(
-                points, rows_t, keys_w, neg_w, ops, c, n_groups, k, signed
-            )
-            return jc.point_stack(ws)
+            pts, ks = _sorted_pts(points, rows_t, keys_w, neg_w)
+            return pts[0].sum() + pts[1].sum() + ks.sum()
 
         return scan_windows(body, keys, negs)
+
+    def tree_sorted(points, rows_t, keys, negs):
+        def body(keys_w, neg_w):
+            pts, ks = _sorted_pts(points, rows_t, keys_w, neg_w)
+            tree = msm_ops.PrefixTree(pts, ops, k=k)
+            return jc.point_stack(tree.total)
+
+        return scan_windows(body, keys, negs)
+
+    def prefixes(points, rows_t, keys, negs):
+        def body(keys_w, neg_w):
+            pe = msm_ops._window_bucket_prefixes(
+                points, rows_t, keys_w, neg_w, ops, c, n_groups, k, signed
+            )
+            return jc.point_stack(pe)
+
+        return scan_windows(body, keys, negs)
+
+    def full(points, rows_t, keys, negs):
+        return msm_ops._windows_pipeline(
+            points, keys, negs, ops, c, k, n_groups, signed
+        )
 
     return prep, {
         "digits": digits_only,
         "sort": sort_only,
         "gather": gather_only,
+        "unpack_neg": unpack_neg,
         "scan": scan_cost,
+        "tree_sorted": tree_sorted,
+        "prefixes": prefixes,
         "full": full,
     }
 
