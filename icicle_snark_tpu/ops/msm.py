@@ -73,6 +73,53 @@ def choose_c(n: int, groups: int = 1) -> int:
     return best_c
 
 
+# HBM budget for precomputed base copies (both G1 + G2 pools together
+# stay well under half the 16 GB chip so NTT transients + MSM slice
+# working sets keep headroom)
+MSM_PRE_BUDGET = int(
+    float(_os.environ.get("ISTPU_MSM_PRE_BUDGET_MB", "6144")) * (1 << 20)
+)
+# v5e sweeps (tools/msm_k_sweep.py, 4x2^16): f=8 lost to f=4 at every c
+# (window-slot padding waste + superlinear per-window costs at 2M+
+# lanes/window); f=4 at c=13 was the optimum. Cap at 4.
+MSM_PRE_MAX = int(_os.environ.get("ISTPU_MSM_PRE_MAX", "4"))
+
+
+def choose_c_pre(n: int, groups: int = 1, g2: bool = False,
+                 budget_bytes: int | None = None,
+                 max_lanes: int | None = None):
+    """Joint (window size, precompute factor) for FIXED bases (the
+    proving key): scan work is slots(c, f) * n lane-adds (slots = merged
+    window count x f, i.e. windows rounded UP to a multiple of f — dead
+    slots still ride the sort/gather/scan), so precompute's value is
+    cutting the per-MERGED-window bucket cost (query + telescope,
+    ~beta * G * 2^(c-1) lane-adds per merged window PER SLICE when out
+    of core). Factor capped by the HBM budget for the base copies and
+    by the measured f<=4 cliff (reference analog: precompute_factor +
+    get_optimal_c, msm/mod.rs:175-190, cpu_msm.hpp:76-158)."""
+    budget = MSM_PRE_BUDGET if budget_bytes is None else budget_bytes
+    if n < (1 << 16) or budget <= 0:
+        # tiny MSMs (tests, dryrun fixtures): copies would only grow the
+        # traced graphs for negligible runtime — keep the plain layout
+        return choose_c(n, groups), 1
+    bytes_lane = 256 if g2 else 128  # affine u32 limb arrays per copy
+    cap = max_lanes or (MSM_MAX_LANES // 2 if g2 else MSM_MAX_LANES)
+    f_max = max(1, min(MSM_PRE_MAX, budget // max(1, bytes_lane * n)))
+    best, best_cost = (choose_c(n, groups), 1), None
+    for c in range(10, 17):
+        w_total = -(-SCALAR_BITS // c)
+        for f in (1, 2, 4):
+            if f > f_max or f > w_total:
+                continue
+            wp = -(-w_total // f)
+            slots = wp * f
+            n_slices = max(1, -(-(n * f) // cap))
+            cost = slots * n + MSM_BETA * groups * (1 << (c - 1)) * wp * n_slices
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (c, f), cost
+    return best
+
+
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     """(nlimb, n) uint32 16-bit limbs -> (n_windows, n) c-bit digits.
 
@@ -231,9 +278,17 @@ class PrefixTree:
                 break
 
     def query(self, idx: jnp.ndarray):
-        """P_idx (inclusive, identity for idx < 0); idx: (...,) int32."""
+        """P_idx (inclusive, identity for idx < 0); idx: (...,) int32.
+
+        The level-index chain i_{l+1} = i_l // k_l - 1 is pure integer
+        math (no dependence on gathered values), so all level gathers
+        run up-front and the per-level contributions reduce in log-depth
+        wide padds instead of L sequential q-lane padds (the sequential
+        form was latency-bound: ~3x the raw padd rate at q ~ 8k lanes).
+        """
         ops = self.ops
-        acc = jc.identity(ops, idx.shape)
+        ident = jc.identity(ops, idx.shape)
+        contribs = []
         i = idx
         valid = i >= 0
         for kl, packed, shapes in zip(self.ks, self.levels, self.shapes):
@@ -244,11 +299,17 @@ class PrefixTree:
                 a.reshape(a.shape[:-1] + safe.shape)
                 for a in _unpack_rows(g_rows, [s[:-1] + (flat.shape[0],) for s in shapes])
             )
-            term = jc.pselect(ops, valid, contrib, jc.identity(ops, idx.shape))
-            acc = jc.padd(ops, acc, term)
+            contribs.append(jc.pselect(ops, valid, contrib, ident))
             i = (safe // kl) - 1
             valid = valid & (i >= 0)
-        return acc
+        if len(contribs) == 1:
+            return contribs[0]
+        # (coords..., q, L) -> log2(L) roll-reduce rounds over wide lanes
+        stacked = tuple(
+            jnp.stack([cb[j] for cb in contribs], axis=-1)
+            for j in range(len(contribs[0]))
+        )
+        return _chunked_reduce(stacked, ops)
 
 
 def _roll_reduce(points, ops):
@@ -603,13 +664,17 @@ def _windows_pipeline(points, keys, negs, ops, c, k, n_groups, signed):
 
 
 def msm_device_grouped_sliced(scalars, group_ids, points, ops, c: int,
-                              k: int, n_groups: int, signed: bool = True):
+                              k: int, n_groups: int, signed: bool = True,
+                              precompute: int = 1):
     """One fixed-shape slice of a group-CONCATENATED MSM.
 
     scalars (16, L) raw integer limbs, group_ids (L,) int32 in
     [0, n_groups] (n_groups = pad sentinel, sorts past every real
-    bucket), points (coords..., L). Returns stacked window sums
-    (3, coords..., G, W); groups with no lanes in this slice contribute
+    bucket), points (coords..., L*precompute) — interleaved
+    precompute_bases layout when precompute > 1 (copy m of scalar lane
+    i is point lane i*p + m, so a scalar slice [s0:s1) pairs with the
+    contiguous point rows [p*s0 : p*s1)). Returns stacked window sums
+    (3, coords..., G, Wp); groups with no lanes in this slice contribute
     exact identities (every bucket empty -> telescoped sum cancels).
 
     This is the out-of-core formulation (reference: multi_chunked_msm,
@@ -617,11 +682,19 @@ def msm_device_grouped_sliced(scalars, group_ids, points, ops, c: int,
     wise, so all slices share ONE compiled pipeline and no group pads
     to a slice boundary on its own.
     """
+    p = precompute
     n_buckets = (1 << (c - 1)) + 1 if signed else 1 << c
     if signed:
         digs, negs = window_digits_signed(scalars, c)
     else:
         digs, negs = window_digits(scalars, c), None
+    if p > 1:
+        w_total = -(-16 * scalars.shape[0] // c)
+        wp = -(-w_total // p)
+        digs = _merge_digit_windows(digs, p, wp, 0)
+        if negs is not None:
+            negs = _merge_digit_windows(negs, p, wp, False)
+        group_ids = jnp.repeat(group_ids, p)
     keys = digs.astype(jnp.int32) + group_ids[None, :] * jnp.int32(n_buckets)
     return _windows_pipeline(points, keys, negs, ops, c, k, n_groups, signed)
 
@@ -721,14 +794,18 @@ def _pad_lanes(arr, size):
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _msm_g1_sliced_jit(scalars, gids, points, c, k, n_groups):
-    return msm_device_grouped_sliced(scalars, gids, points, jc.FqOps, c, k, n_groups)
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _msm_g1_sliced_jit(scalars, gids, points, c, k, n_groups, precompute=1):
+    return msm_device_grouped_sliced(
+        scalars, gids, points, jc.FqOps, c, k, n_groups, precompute=precompute
+    )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _msm_g2_sliced_jit(scalars, gids, points, c, k, n_groups):
-    return msm_device_grouped_sliced(scalars, gids, points, jc.Fq2Ops, c, k, n_groups)
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _msm_g2_sliced_jit(scalars, gids, points, c, k, n_groups, precompute=1):
+    return msm_device_grouped_sliced(
+        scalars, gids, points, jc.Fq2Ops, c, k, n_groups, precompute=precompute
+    )
 
 
 def _slice_concat(arrays, lo: int, hi: int, pad_shape_of=None):
@@ -750,7 +827,8 @@ def _slice_concat(arrays, lo: int, hi: int, pad_shape_of=None):
     return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=-1)
 
 
-def msm_windows_sliced(groups, c, k, g2: bool, max_lanes: int):
+def msm_windows_sliced(groups, c, k, g2: bool, max_lanes: int,
+                       precompute: int = 1):
     """Out-of-core GROUPED window sums: the virtual concatenation of
     all (scalars, points) groups is cut into fixed max_lanes slices
     (group boundaries may fall inside a slice — group-id keys keep the
@@ -759,16 +837,20 @@ def msm_windows_sliced(groups, c, k, g2: bool, max_lanes: int):
     no per-group padding waste, and HBM holds at most ONE slice of
     assembled copies at a time (the memory-planner role of the
     reference's multi_chunked_msm, cuda_msm.cuh:1131-1395).
+    max_lanes bounds POINT lanes (the HBM working set): with
+    precompute p the scalar slice width is max_lanes // p.
     Returns stacked (3, coords..., G, W)."""
     n_groups = len(groups)
+    p = precompute
+    sw = max(k, (max_lanes // p) // k * k)  # scalar lanes per slice
     total = sum(s.shape[-1] for s, _ in groups)
-    n_slices = -(-total // max_lanes)
+    n_slices = -(-total // sw)
     sizes = [s.shape[-1] for s, _ in groups]
 
     # group ids are static per layout: numpy, sliced per window
     gid_np = np.concatenate(
         [np.full(n, g, np.int32) for g, n in enumerate(sizes)]
-        + [np.full(n_slices * max_lanes - total, n_groups, np.int32)]
+        + [np.full(n_slices * sw - total, n_groups, np.int32)]
     )
 
     scal = [s for s, _ in groups]
@@ -778,11 +860,11 @@ def msm_windows_sliced(groups, c, k, g2: bool, max_lanes: int):
     jit_fn = _msm_g2_sliced_jit if g2 else _msm_g1_sliced_jit
     acc = None
     for s in range(n_slices):
-        lo, hi = s * max_lanes, (s + 1) * max_lanes
+        lo, hi = s * sw, (s + 1) * sw
         sl_sc = _slice_concat(scal, lo, hi)
         sl_gid = jnp.asarray(gid_np[lo:hi])
-        sl_pts = tuple(_slice_concat(cs, lo, hi) for cs in coord_sets)
-        ws = jit_fn(sl_sc, sl_gid, sl_pts, c, k, n_groups)
+        sl_pts = tuple(_slice_concat(cs, p * lo, p * hi) for cs in coord_sets)
+        ws = jit_fn(sl_sc, sl_gid, sl_pts, c, k, n_groups, p)
         acc = ws if acc is None else _acc_windows(g2, acc, ws)
         del sl_sc, sl_pts, ws
         if s < n_slices - 1:

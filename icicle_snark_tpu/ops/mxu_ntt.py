@@ -287,8 +287,14 @@ def _ensure_constants(log_n: int, inverse: bool):
 
 
 def release_constants():
+    """Free every module-held device constant (Toeplitz digit matrices,
+    step-twiddle tables, the mod-p fold matrix). Called from
+    CacheManager.evict / ntt.release_domain — at 2^22 the step-twiddle
+    table alone is ~256 MB of HBM, which must not outlive the domain."""
+    global _REDUCE_CONST
     _TOEPLITZ_CACHE.clear()
     _TWIDDLE_CACHE.clear()
+    _REDUCE_CONST = None
 
 
 # ------------------------------------------------------------- transform

@@ -118,12 +118,19 @@ def get_domain(log_n: int, spec: lb.FieldSpec = None, root_tower=None) -> NTTDom
 
 
 def release_domain(log_n: int | None = None):
-    """Drop cached twiddles (reference: release_domain, ntt.cpp:115)."""
+    """Drop cached twiddles (reference: release_domain, ntt.cpp:115).
+
+    Also releases the MXU-NTT constant pools (Toeplitz digit matrices /
+    step twiddles) — they are domain-derived device arrays and must not
+    outlive the domain they were built for."""
     if log_n is None:
         _DOMAINS.clear()
     else:
         for k in [k for k in _DOMAINS if k[0] == log_n]:
             _DOMAINS.pop(k)
+    from . import mxu_ntt
+
+    mxu_ntt.release_constants()
 
 
 def _stage_twiddles(tw: jnp.ndarray, n: int, m: int) -> jnp.ndarray:

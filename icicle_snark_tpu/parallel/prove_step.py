@@ -205,20 +205,23 @@ def _identity_windows(ops, n_groups: int, n_windows: int):
 
 
 def _local_grouped_msm_sliced(scal_list, point_list, ops, c: int, k: int,
-                              max_lanes: int):
+                              max_lanes: int, pre: int = 1):
     """Local-shard grouped window sums with out-of-core slicing.
 
-    The local concatenation of all groups is cut into fixed max_lanes
+    The local concatenation of all groups is cut into fixed-width
     slices processed by ONE compiled pipeline inside a lax.scan (buffers
     reused across iterations — at most one slice's assembled copies live
     at a time, the memory-planner role of the reference's
-    multi_chunked_msm). Returns stacked (3, coords..., G, W).
+    multi_chunked_msm). With base precompute `pre`, point arrays carry
+    the interleaved copies (pre x the scalar lanes) and max_lanes bounds
+    POINT lanes. Returns stacked (3, coords..., G, Wp).
     """
     n_groups = len(scal_list)
     sizes = [s.shape[-1] for s in scal_list]
     total = sum(sizes)
-    n_slices = -(-total // max_lanes)
-    width = n_slices * max_lanes if n_slices > 1 else total
+    sw = max(k, (max_lanes // pre) // k * k)  # scalar lanes per slice
+    n_slices = -(-total // sw)
+    width = n_slices * sw if n_slices > 1 else total
 
     scal = jnp.concatenate(scal_list, axis=-1)
     ncoords = len(point_list[0])
@@ -237,25 +240,30 @@ def _local_grouped_msm_sliced(scal_list, point_list, ops, c: int, k: int,
             [scal, jnp.zeros(scal.shape[:-1] + (pad,), scal.dtype)], axis=-1
         )
         pts = tuple(
-            jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1)
+            jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (pre * pad,), a.dtype)], axis=-1
+            )
             for a in pts
         )
 
     if n_slices == 1:
-        return msm_ops.msm_device_grouped_sliced(scal, gids, pts, ops, c, k, n_groups)
+        return msm_ops.msm_device_grouped_sliced(
+            scal, gids, pts, ops, c, k, n_groups, precompute=pre
+        )
 
     scalar_bits = 16 * scal.shape[0]
-    n_windows = -(-scalar_bits // c)
+    w_total = -(-scalar_bits // c)
+    n_windows = -(-w_total // pre)  # merged window count
 
     def body(acc, s):
-        lo = s * max_lanes
-        sl_sc = jax.lax.dynamic_slice_in_dim(scal, lo, max_lanes, -1)
-        sl_gid = jax.lax.dynamic_slice_in_dim(gids, lo, max_lanes, 0)
+        lo = s * sw
+        sl_sc = jax.lax.dynamic_slice_in_dim(scal, lo, sw, -1)
+        sl_gid = jax.lax.dynamic_slice_in_dim(gids, lo, sw, 0)
         sl_pts = tuple(
-            jax.lax.dynamic_slice_in_dim(a, lo, max_lanes, -1) for a in pts
+            jax.lax.dynamic_slice_in_dim(a, pre * lo, pre * sw, -1) for a in pts
         )
         ws = msm_ops.msm_device_grouped_sliced(
-            sl_sc, sl_gid, sl_pts, ops, c, k, n_groups
+            sl_sc, sl_gid, sl_pts, ops, c, k, n_groups, precompute=pre
         )
         new = jc.point_stack(
             jc.padd(ops, jc.point_unstack(acc), jc.point_unstack(ws))
@@ -277,16 +285,16 @@ def _combine_windows(ws, ops):
 
 
 @lru_cache(maxsize=8)
-def build_msm_g1_step(mesh, c: int, k: int, max_lanes: int):
+def build_msm_g1_step(mesh, c: int, k: int, max_lanes: int, pre: int = 1):
     """Jitted sharded 4-group G1 MSM: (witness, wit_c, h, 4x points) ->
-    stacked replicated window sums (3, 16, 4, W)."""
+    stacked replicated window sums (3, 16, 4, Wp)."""
 
     def step(witness, wit_c, h, pa, pb1, pc, ph):
         wit_local = _local_slice(witness, 1)
         ws = _local_grouped_msm_sliced(
             [wit_local, wit_local, wit_c, h],
             [pa, pb1, pc, ph],
-            jc.FqOps, c, k, max_lanes,
+            jc.FqOps, c, k, max_lanes, pre,
         )
         return _combine_windows(ws, jc.FqOps)
 
@@ -299,11 +307,11 @@ def build_msm_g1_step(mesh, c: int, k: int, max_lanes: int):
 
 
 @lru_cache(maxsize=8)
-def build_msm_g2_step(mesh, c: int, k: int, max_lanes: int):
+def build_msm_g2_step(mesh, c: int, k: int, max_lanes: int, pre: int = 1):
     def step(witness, pb2):
         wit_local = _local_slice(witness, 1)
         ws = _local_grouped_msm_sliced(
-            [wit_local], [pb2], jc.Fq2Ops, c, k, max_lanes
+            [wit_local], [pb2], jc.Fq2Ops, c, k, max_lanes, pre
         )
         return _combine_windows(ws, jc.Fq2Ops)
 
@@ -351,15 +359,20 @@ def pad_cache_for_mesh(cache, n_devices: int):
         plan.segments, (0, pad_rec), constant_values=plan.num_segments - 1
     )
 
+    # precomputed bases carry `pre` interleaved copies per scalar lane:
+    # padding to d*pre keeps every device shard = pre x its scalar shard
+    # (contiguous copy blocks never split across devices)
+    p1 = getattr(cache, "msm_pre", 1)
+    p2 = getattr(cache, "msm_pre2", 1)
     pads = {
         "coefs": coefs,
         "wit_idx": wit_idx,
         "segments": segments,
-        "pa": tuple(_pad_last(a, d) for a in cache.points_a),
-        "pb1": tuple(_pad_last(a, d) for a in cache.points_b1),
-        "pb2": tuple(_pad_last(a, d) for a in cache.points_b2),
-        "pc": tuple(_pad_last(a, d) for a in cache.points_c),
-        "ph": tuple(_pad_last(a, d) for a in cache.points_h),
+        "pa": tuple(_pad_last(a, d * p1) for a in cache.points_a),
+        "pb1": tuple(_pad_last(a, d * p1) for a in cache.points_b1),
+        "pb2": tuple(_pad_last(a, d * p2) for a in cache.points_b2),
+        "pc": tuple(_pad_last(a, d * p1) for a in cache.points_c),
+        "ph": tuple(_pad_last(a, d * p1) for a in cache.points_h),
     }
     return pads
 
@@ -387,8 +400,18 @@ def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
 
     n_pts = witness.shape[-1] + ((-witness.shape[-1]) % mesh.devices.size)
     d = mesh.devices.size
-    c = c or msm_ops.choose_c(min(4 * n_pts // d, msm_ops.MSM_MAX_LANES), groups=4)
-    c2 = _choose_c2(n_pts, d, msm_ops.MSM_MAX_LANES)
+    # precomputed caches bake their window sizes (the copies are shifted
+    # for exactly cache.msm_c / msm_c2); plain caches choose here
+    if getattr(cache, "msm_pre", 1) > 1:
+        c = cache.msm_c
+    else:
+        c = c or cache.msm_c or msm_ops.choose_c(
+            min(4 * n_pts // d, msm_ops.MSM_MAX_LANES), groups=4
+        )
+    if getattr(cache, "msm_pre2", 1) > 1:
+        c2 = cache.msm_c2
+    else:
+        c2 = _choose_c2(n_pts, d, msm_ops.MSM_MAX_LANES)
     _h, ws_g1, ws_b2 = run_sharded_prove(mesh, cache, witness, c=c, c2=c2, k=k)
 
     ws_g1 = np.asarray(ws_g1)  # one bulk fetch for all four G1 groups
@@ -441,9 +464,14 @@ def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32,
     wit_pad = _pad_last(witness, d)
     wit_c = _pad_last(witness[:, hdr.n_public + 1 :], d)
 
-    n_pts = pads["pa"][0].shape[-1]
+    pre = getattr(cache, "msm_pre", 1)
+    pre2 = getattr(cache, "msm_pre2", 1)
+    n_pts = pads["pa"][0].shape[-1]  # point lanes (pre x scalars)
     max_lanes = max_lanes or msm_ops.MSM_MAX_LANES
-    c = c or msm_ops.choose_c(min(4 * n_pts // d, max_lanes), groups=4)
+    if pre > 1:
+        c = cache.msm_c  # baked with the precomputed copies
+    else:
+        c = c or msm_ops.choose_c(min(4 * n_pts // d, max_lanes), groups=4)
     dom = ntt_ops.get_domain(hdr.power)
     if cache.plan.level2 is not None:
         seg2, nseg2 = cache.plan.level2
@@ -481,9 +509,12 @@ def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32,
         keys, tw_fwd, tw_inv, n_inv,
     )
 
-    step_b = build_msm_g1_step(mesh, c, k, max_lanes)
+    step_b = build_msm_g1_step(mesh, c, k, max_lanes, pre)
     ws_g1 = step_b(wit_pad, wit_c, h, pa, pb1, pc, ph)
-    c2 = c2 or _choose_c2(n_pts, d, max_lanes)
-    step_c = build_msm_g2_step(mesh, c2, k, max(max_lanes // 2, 1))
+    if pre2 > 1:
+        c2 = cache.msm_c2
+    else:
+        c2 = c2 or _choose_c2(n_pts, d, max_lanes)
+    step_c = build_msm_g2_step(mesh, c2, k, max(max_lanes // 2, 1), pre2)
     ws_b2 = step_c(wit_pad, pb2)
     return h, ws_g1, ws_b2

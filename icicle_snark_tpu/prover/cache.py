@@ -29,10 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..curve import jcurve as jc
 from ..fields import limbs as lb
 from ..fields.limbs import NLIMB
 from ..io import native
 from ..io.zkey import ZKeyFile, ZKeyHeader
+from ..ops import msm as msm_ops
 from ..ops.ntt import bitrev_permutation, get_domain, powers_mont, release_domain
 from ..refmath.field import W
 
@@ -63,13 +65,21 @@ class R1CSPlan:
 class ZKeyCache:
     header: ZKeyHeader
     plan: R1CSPlan
-    points_a: tuple    # (x, y): each (16, n_vars)
+    points_a: tuple    # (x, y): each (16, n_vars * msm_pre), interleaved copies
     points_b1: tuple
-    points_b2: tuple   # (x, y): each (2, 16, n_vars)
+    points_b2: tuple   # (x, y): each (2, 16, n_vars * msm_pre2)
     points_c: tuple
     points_h: tuple
     keys_bitrev: jnp.ndarray  # (16, n) Montgomery coset key powers, bit-reversed
     keys: jnp.ndarray = None  # (16, n) natural order (multi-chip four-step path)
+    # MSM plan baked at cache build: the base-precompute copies are tied
+    # to the window size they were shifted for (2^(c*wp) steps), so the
+    # prove MUST use these (c, factor) pairs (reference analog:
+    # precompute_factor stored with the MSMConfig, msm/mod.rs:175-190)
+    msm_c: int = 0     # G1 grouped window size (0 = choose at prove)
+    msm_pre: int = 1   # G1 precompute factor
+    msm_c2: int = 0    # G2 window size
+    msm_pre2: int = 1  # G2 precompute factor
 
 
 @jax.jit
@@ -105,6 +115,23 @@ def _g2_split(words: jnp.ndarray) -> tuple:
 def _g2_device(words: np.ndarray) -> tuple:
     """(n, 32) u32 -> ((16,2,n),(16,2,n)) limb-major Fq2 stacks."""
     return _g2_split(jnp.asarray(words))
+
+
+# base precompute at cache build (one-time per zkey): interleaved
+# shifted copies [P, 2^(c*wp)P, ...] so the prove runs merged digit
+# windows (ops/msm.py:precompute_bases) — factor-fold fewer, wider
+# windows at the same total scan work but far better lane utilization
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(1, 2))
+def _pre_g1(points, c: int, factor: int):
+    return msm_ops.precompute_bases(points, jc.FqOps, c, factor)
+
+
+@_partial(jax.jit, static_argnums=(1, 2))
+def _pre_g2(points, c: int, factor: int):
+    return msm_ops.precompute_bases(points, jc.Fq2Ops, c, factor)
 
 
 def build_r1cs_plan(m_arr, c_arr, s_arr, coef_words, domain_size: int) -> R1CSPlan:
@@ -180,16 +207,29 @@ def load_zkey_cache(zkey_path: str) -> ZKeyCache:
 
     get_domain(hdr.power)  # warm the twiddle cache (reference: initialize_domain)
 
+    nv = hdr.n_vars
+    npub = hdr.n_public
+    total_g1 = 3 * nv - (npub + 1) + n  # a + b1 + c + h lanes
+    # one HBM budget covers BOTH pools: G1 copies cost 128 B/lane over
+    # ~4.3x the lanes of G2's 256 B/lane -> ~2:1 split
+    c1, pre1 = msm_ops.choose_c_pre(
+        total_g1, groups=4, budget_bytes=2 * msm_ops.MSM_PRE_BUDGET // 3
+    )
+    c2, pre2 = msm_ops.choose_c_pre(
+        nv, groups=1, g2=True, budget_bytes=msm_ops.MSM_PRE_BUDGET // 3
+    )
+
     cache = ZKeyCache(
         header=hdr,
         plan=plan,
-        points_a=_g1_device(zk.points_a()),
-        points_b1=_g1_device(zk.points_b1()),
-        points_b2=_g2_device(zk.points_b2()),
-        points_c=_g1_device(zk.points_c()),
-        points_h=_g1_device(zk.points_h()),
+        points_a=_pre_g1(_g1_device(zk.points_a()), c1, pre1),
+        points_b1=_pre_g1(_g1_device(zk.points_b1()), c1, pre1),
+        points_b2=_pre_g2(_g2_device(zk.points_b2()), c2, pre2),
+        points_c=_pre_g1(_g1_device(zk.points_c()), c1, pre1),
+        points_h=_pre_g1(_g1_device(zk.points_h()), c1, pre1),
         keys_bitrev=keys_bitrev,
         keys=keys,
+        msm_c=c1, msm_pre=pre1, msm_c2=c2, msm_pre2=pre2,
     )
     return cache
 

@@ -250,38 +250,44 @@ def groth16_commitments(witness, h_scalars, cache: ZKeyCache):
     ]
     total = sum(s.shape[-1] for s, _ in groups)
     n2 = witness.shape[-1]
-    c = msm_ops.choose_c(
+    # window sizes + precompute factors are BAKED at cache build (the
+    # base copies were shifted for exactly these window sizes); G2 runs
+    # alone (1 group, half the slice width) on its own optimum
+    # (reference analog: per-MSM decision trees, cpu_msm.hpp:76-158)
+    pre, pre2 = cache.msm_pre, cache.msm_pre2
+    c = cache.msm_c or msm_ops.choose_c(
         min(total, msm_ops.MSM_MAX_LANES), groups=len(groups)
     )
-    # G2 runs alone (1 group, half the slice width): its own optimum
-    # (reference analog: per-MSM decision trees, cpu_msm.hpp:76-158)
-    c2 = msm_ops.choose_c(min(n2, msm_ops.MSM_MAX_LANES // 2), groups=1)
+    c2 = cache.msm_c2 or msm_ops.choose_c(
+        min(n2, msm_ops.MSM_MAX_LANES // 2), groups=1
+    )
 
     # dispatch BOTH pipelines before fetching either, so the G2 MSM
     # executes on device while the host fetches G1 window sums and runs
     # the Horner ladders (the role of the reference's second CUDA
     # stream, proof_helper.rs:191-206). Out of core, the same applies
     # to the final G2 slices.
-    if total > msm_ops.MSM_MAX_LANES:
+    if total * pre > msm_ops.MSM_MAX_LANES:
         # complete the R1CS/NTT chain before staging MSM slices so its
         # multi-GB 2^22-domain transients are freed first (out-of-core
         # HBM headroom; tiny forcing fetch — block_until_ready does not
         # block over the remote-TPU tunnel)
         np.asarray(jax.device_get(h_scalars.ravel()[:1]))
         ws1 = msm_ops.msm_windows_sliced(
-            groups, c, 32, False, msm_ops.MSM_MAX_LANES
+            groups, c, 32, False, msm_ops.MSM_MAX_LANES, precompute=pre
         )
     else:
         ws1 = msm_ops._msm_g1_jit(
-            tuple(s for s, _ in groups), tuple(p for _, p in groups), c, 32
+            tuple(s for s, _ in groups), tuple(p for _, p in groups), c, 32,
+            pre,
         )
-    if n2 > msm_ops.MSM_MAX_LANES // 2:
+    if n2 * pre2 > msm_ops.MSM_MAX_LANES // 2:
         ws2 = msm_ops.msm_windows_sliced(
             [(witness, cache.points_b2)], c2, 32, True,
-            msm_ops.MSM_MAX_LANES // 2,
+            msm_ops.MSM_MAX_LANES // 2, precompute=pre2,
         )
     else:
-        ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c2, 32)
+        ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c2, 32, pre2)
 
     # ONE bulk D2H fetch per pipeline (single stacked output buffer)
     ws1_np = np.asarray(ws1)

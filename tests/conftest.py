@@ -41,3 +41,29 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# ---------------------------------------------------------------- tiers
+# FAST tier (pytest -m fast): files whose full cold compile+run stays
+# in seconds on a 1-core host (measured 2026-08-20: host-math/IO files
+# 3.5 s; limbs+vec_ops 37 s cold). Everything else is implicitly slow;
+# the heaviest suites additionally self-skip without ISTPU_HEAVY_TESTS.
+FAST_FILES = {
+    "test_refmath.py",
+    "test_binfile_hardening.py",
+    "test_native_io.py",
+    "test_runtime.py",
+    "test_limbs.py",
+    "test_vec_ops.py",
+    "test_api_surface.py",
+    "test_ntt.py",
+    "test_fast_setup.py",
+    "test_multichip_smoke.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        if item.fspath.basename in FAST_FILES:
+            item.add_marker(_pytest.mark.fast)

@@ -179,3 +179,34 @@ def test_sliced_grouped_matches_direct(pts64):
         pts_g = msm_ops.window_points_to_host_g1(ws, g)
         got = msm_ops.horner_combine(pts_g, c)
         assert rcv.g1_eq(got, exp), f"group {g}"
+
+def test_sliced_precompute_matches_direct(pts64):
+    """Out-of-core slicing WITH base precompute (interleaved copies,
+    merged digit windows, point slices = pre x scalar slices) == plain
+    MSM. This is the production 100k+ pipeline layout
+    (prover/cache.py bakes precompute_bases into the ZKey cache)."""
+    x, y, aff = pts64
+    rng = np.random.default_rng(29)
+    c, factor = 8, 4
+    groups, exps = [], []
+    pres = []
+    for g, n_g in enumerate((40, 64)):
+        vals = [int(v) % R_MOD for v in rng.integers(0, 1 << 62, size=n_g, dtype=np.uint64)]
+        sc = lb.ints_to_limbs_np(vals)
+        pre = msm_ops.precompute_bases(
+            (x[:, :n_g], y[:, :n_g]), jc.FqOps, c=c, factor=factor
+        )
+        groups.append((sc, pre))
+        pres.append(pre)
+        e = rcv.G1_ZERO
+        for v, a in zip(vals, aff[:n_g]):
+            e = rcv.g1_add(e, rcv.g1_mul(rcv.g1_from_affine(a), v))
+        exps.append(e)
+    # max_lanes bounds POINT lanes: 128 -> scalar slices of 32
+    ws = np.asarray(msm_ops.msm_windows_sliced(
+        groups, c, 8, False, max_lanes=128, precompute=factor
+    ))
+    assert ws.shape[-1] == -(-(-(-256 // c)) // factor)
+    for g, exp in enumerate(exps):
+        got = msm_ops.horner_combine(msm_ops.window_points_to_host_g1(ws, g), c)
+        assert rcv.g1_eq(got, exp), f"group {g}"

@@ -76,19 +76,23 @@ def main():
             (wit_c, cache.points_c),
             (h, cache.points_h),
         ]
-        n_max = max(s.shape[-1] for s, _ in groups)
-        c = msm_ops.choose_c(sum(s.shape[-1] for s, _ in groups), groups=4)
+        # the cache bakes (c, precompute) pairs with the shifted copies
+        pre, pre2 = cache.msm_pre, cache.msm_pre2
+        c = cache.msm_c or msm_ops.choose_c(
+            sum(s.shape[-1] for s, _ in groups), groups=4
+        )
+        c2 = cache.msm_c2 or c
         ws = msm_ops._msm_g1_jit(
-            tuple(s for s, _ in groups), tuple(p for _, p in groups), c, 32
+            tuple(s for s, _ in groups), tuple(p for _, p in groups), c, 32, pre
         )
         force(ws)
         t3 = time.perf_counter()
-        print(f"G1 MSM x4 (c={c})    {t3-t2:8.3f} s")
+        print(f"G1 MSM x4 (c={c} f={pre})    {t3-t2:8.3f} s")
 
-        ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c, 32)
+        ws2 = msm_ops._msm_g2_jit((witness,), (cache.points_b2,), c2, 32, pre2)
         force(ws2)
         t4 = time.perf_counter()
-        print(f"G2 MSM (c={c})       {t4-t3:8.3f} s")
+        print(f"G2 MSM (c={c2} f={pre2})       {t4-t3:8.3f} s")
 
         ws_np = np.asarray(ws)  # one bulk fetch
         pts = [
@@ -96,7 +100,7 @@ def main():
             for g in range(4)
         ]
         pi_b = msm_ops.horner_combine(
-            msm_ops.window_points_to_host_g2(np.asarray(ws2), 0), c, g2=True
+            msm_ops.window_points_to_host_g2(np.asarray(ws2), 0), c2, g2=True
         )
         t5 = time.perf_counter()
         print(f"fetch+horner (host) {t5-t4:8.3f} s")
