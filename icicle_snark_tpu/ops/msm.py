@@ -83,6 +83,14 @@ MSM_PRE_BUDGET = int(
 # (window-slot padding waste + superlinear per-window costs at 2M+
 # lanes/window); f=4 at c=13 was the optimum. Cap at 4.
 MSM_PRE_MAX = int(_os.environ.get("ISTPU_MSM_PRE_MAX", "4"))
+# ... and the f>1 payoff does NOT extrapolate with scalar count: at
+# 262k total scalars c13f4 beat c12f1 by 8% (513 vs 554 ms), but at the
+# real 431k-scalar 100k-prove shape every f>1 config LOST to c12f1
+# (908 ms vs 939 c13f2 / 1025 c13f4 — tools/prove_profile.py +
+# msm_k_sweep n=107776), with no clean per-window lanes/bytes knee to
+# model it. Until the superlinear term is understood, precompute is
+# gated on measured-win territory: in-core MSMs up to ~300k scalars.
+MSM_PRE_N_KNEE = int(_os.environ.get("ISTPU_MSM_PRE_N_KNEE", "300000"))
 
 
 def choose_c_pre(n: int, groups: int = 1, g2: bool = False,
@@ -105,6 +113,9 @@ def choose_c_pre(n: int, groups: int = 1, g2: bool = False,
     bytes_lane = 256 if g2 else 128  # affine u32 limb arrays per copy
     cap = max_lanes or (MSM_MAX_LANES // 2 if g2 else MSM_MAX_LANES)
     f_max = max(1, min(MSM_PRE_MAX, budget // max(1, bytes_lane * n)))
+    if n > MSM_PRE_N_KNEE and n * f_max <= cap:
+        # in-core beyond the measured f>1 payoff range (see MSM_PRE_N_KNEE)
+        f_max = 1
     best, best_cost = (choose_c(n, groups), 1), None
     for c in range(10, 17):
         w_total = -(-SCALAR_BITS // c)
@@ -280,15 +291,17 @@ class PrefixTree:
     def query(self, idx: jnp.ndarray):
         """P_idx (inclusive, identity for idx < 0); idx: (...,) int32.
 
-        The level-index chain i_{l+1} = i_l // k_l - 1 is pure integer
-        math (no dependence on gathered values), so all level gathers
-        run up-front and the per-level contributions reduce in log-depth
-        wide padds instead of L sequential q-lane padds (the sequential
-        form was latency-bound: ~3x the raw padd rate at q ~ 8k lanes).
-        """
+        Sequential per-level gather+padd. A log-depth variant (all level
+        gathers up-front — the index chain i_{l+1} = i_l // k_l - 1 is
+        data-independent — then wide roll-reduced padds) was measured
+        SLOWER on v5e (+54..116 ms at 4x2^16: the chip is throughput-
+        bound here and the pow2-padded reduce does ~5x the lane work),
+        so the L sequential q-lane padds stay. The level-0 contribution
+        seeds the accumulator directly (its pselect identity fallback
+        covers idx < 0), saving one padd per window."""
         ops = self.ops
         ident = jc.identity(ops, idx.shape)
-        contribs = []
+        acc = None
         i = idx
         valid = i >= 0
         for kl, packed, shapes in zip(self.ks, self.levels, self.shapes):
@@ -299,17 +312,11 @@ class PrefixTree:
                 a.reshape(a.shape[:-1] + safe.shape)
                 for a in _unpack_rows(g_rows, [s[:-1] + (flat.shape[0],) for s in shapes])
             )
-            contribs.append(jc.pselect(ops, valid, contrib, ident))
+            term = jc.pselect(ops, valid, contrib, ident)
+            acc = term if acc is None else jc.padd(ops, acc, term)
             i = (safe // kl) - 1
             valid = valid & (i >= 0)
-        if len(contribs) == 1:
-            return contribs[0]
-        # (coords..., q, L) -> log2(L) roll-reduce rounds over wide lanes
-        stacked = tuple(
-            jnp.stack([cb[j] for cb in contribs], axis=-1)
-            for j in range(len(contribs[0]))
-        )
-        return _chunked_reduce(stacked, ops)
+        return acc
 
 
 def _roll_reduce(points, ops):

@@ -54,10 +54,12 @@ FAST_FILES = {
     "test_runtime.py",
     "test_limbs.py",
     "test_vec_ops.py",
-    "test_api_surface.py",
     "test_ntt.py",
     "test_fast_setup.py",
     "test_multichip_smoke.py",
+    # NOT fast (measured cold, 1 core): test_api_surface (27 min —
+    # test_msm_config_drives_msm compiles a full MSM pipeline),
+    # test_msm_units (~35 min), everything ISTPU_HEAVY_TESTS-gated.
 }
 
 

@@ -32,6 +32,9 @@ def main():
     g2 = "g2" in sys.argv[1:]
     rng = np.random.RandomState(0)
     n = 1 << 16
+    for a in sys.argv[1:]:
+        if a.startswith("n="):
+            n = int(a[2:])
     n_groups = 1 if g2 else 4
     jit_fn = msm_ops._msm_g2_jit if g2 else msm_ops._msm_g1_jit
 
