@@ -11,6 +11,13 @@ import sys
 # Force CPU: the ambient environment presets JAX_PLATFORMS=axon (a remote
 # TPU tunnel), which would route every test op over the network.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Lean limb graphs (lax.scan carry/CIOS bodies) BEFORE any package
+# import: fields/limbs.py reads these at module import, and the
+# unrolled chains that the TPU wants at runtime cost >10x the XLA:CPU
+# compile time (the smoke test measured 714 s unrolled vs 65 s lean
+# for the same D=8 sharded prove). Results are bit-identical.
+os.environ.setdefault("ISTPU_CARRY_UNROLL", "1")
+os.environ.setdefault("ISTPU_MONT_UNROLL", "1")
 os.environ.setdefault("JAX_NUM_CPU_DEVICES", "8")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:

@@ -24,18 +24,10 @@ from icicle_snark_tpu.parallel.prove_step import run_sharded_prove
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _lean_limb_graphs():
-    # the dryrun subprocess runs with scan-carry limb chains; compile
-    # the same (smallest) graphs here. Module-scoped: limbs.py reads
-    # the env at trace time, and other files' graphs are unaffected
-    # because each pytest process already chose one mode at first use.
-    os.environ["ISTPU_CARRY_UNROLL"] = "1"
-    os.environ["ISTPU_MONT_UNROLL"] = "1"
-    yield
-
-
 def test_dryrun_shaped_sharded_prove_d8():
+    # conftest already selects the lean (scan-carry) limb graphs the
+    # dryrun subprocess compiles — limbs.py reads the env at IMPORT,
+    # so a fixture would be too late.
     from __graft_entry__ import _tiny_fixture
 
     cache, wtns_path = _tiny_fixture()
