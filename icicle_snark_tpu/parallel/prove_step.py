@@ -54,12 +54,16 @@ _R2_FR = None  # set lazily to avoid import cycle
 
 
 def _r2():
+    # memoize the INT, never the jnp array: const_limbs called inside a
+    # shard_map trace returns a tracer, and a cached tracer poisons the
+    # next trace at a different mesh size (UnexpectedTracerError when
+    # one process builds D=1 then D=2 steps — tools/multichip_bench.py)
     global _R2_FR
     if _R2_FR is None:
         from ..refmath.field import MONT_R_FR, R_MOD
 
-        _R2_FR = lb.const_limbs(MONT_R_FR * MONT_R_FR % R_MOD, (1,))
-    return _R2_FR
+        _R2_FR = MONT_R_FR * MONT_R_FR % R_MOD
+    return lb.const_limbs(_R2_FR, (1,))
 
 
 def _local_slice(arr, axis: int):
