@@ -113,8 +113,12 @@ def choose_c_pre(n: int, groups: int = 1, g2: bool = False,
     bytes_lane = 256 if g2 else 128  # affine u32 limb arrays per copy
     cap = max_lanes or (MSM_MAX_LANES // 2 if g2 else MSM_MAX_LANES)
     f_max = max(1, min(MSM_PRE_MAX, budget // max(1, bytes_lane * n)))
-    if n > MSM_PRE_N_KNEE and n * f_max <= cap:
-        # in-core beyond the measured f>1 payoff range (see MSM_PRE_N_KNEE)
+    if n > MSM_PRE_N_KNEE:
+        # beyond the measured f>1 payoff range (see MSM_PRE_N_KNEE).
+        # Also covers the out-of-core regime: sliced f>1 is unvalidated,
+        # and the cache-build doubling chain over a 2^21-lane points_h
+        # crashed the TPU worker at 1.6M (kernel fault) — keep large
+        # MSMs on the plain layout until that is understood.
         f_max = 1
     best, best_cost = (choose_c(n, groups), 1), None
     for c in range(10, 17):

@@ -217,13 +217,16 @@ def _dft_apply(x: jnp.ndarray, toeplitz: jnp.ndarray, r_in: int,
 
 # --------------------------------------------------------- constant caches
 
-_TOEPLITZ_CACHE: dict = {}
-_TWIDDLE_CACHE: dict = {}
+_TOEPLITZ_CACHE: dict = {}   # numpy, host: (log_r, inverse) -> int8 matrix
+_MATS_DEVICE: dict = {}      # device: (log_n, inverse) -> (stage, leaf)
 
 
-def _dft_matrix(log_r: int, inverse: bool) -> jnp.ndarray:
+def _dft_matrix(log_r: int, inverse: bool) -> np.ndarray:
     """Block-Toeplitz int8 constant for the size-2^log_r DFT, entries
-    Montgomery-scaled (w^(ik) * R mod p)."""
+    Montgomery-scaled (w^(ik) * R mod p). Host numpy — the traced
+    transform receives these as EXPLICIT jit arguments (closed-over
+    arrays are inlined as HLO literals: a 2^21 step table as a dense
+    literal blew the remote-compile request, HTTP 413)."""
     key = (log_r, inverse)
     if key not in _TOEPLITZ_CACHE:
         p = FR_SPEC.modulus
@@ -237,72 +240,82 @@ def _dft_matrix(log_r: int, inverse: bool) -> jnp.ndarray:
         for i in range(r):
             for k in range(r):
                 mat[i, k] = wi[(i * k) % r] * rmod % p
-        _TOEPLITZ_CACHE[key] = _dft_toeplitz_const(mat)  # numpy: see
-        # _reduce_const_cached on why caches must not hold jnp arrays
+        _TOEPLITZ_CACHE[key] = _dft_toeplitz_const(mat)
     return _TOEPLITZ_CACHE[key]
 
 
-def _step_twiddles(log_n: int, log_n1: int, inverse: bool) -> jnp.ndarray:
-    """(16, n1, n2) Montgomery table w_n^(+-k1*i2) for the four-step
-    inter-stage multiply."""
-    key = (log_n, log_n1, inverse)
-    if key not in _TWIDDLE_CACHE:
-        dom = ntt_ops.get_domain(log_n)
-        tw = dom.tw_inv if inverse else dom.tw_fwd  # (16, n)
-        n = 1 << log_n
-        n1 = 1 << log_n1
-        n2 = n // n1
-        k1 = np.arange(n1)[:, None]
-        i2 = np.arange(n2)[None, :]
-        exp = (k1 * i2) % n  # (n1, n2)
-        _TWIDDLE_CACHE[key] = np.asarray(tw)[:, exp]
-    return _TWIDDLE_CACHE[key]
+def _leaf_log(log_n: int) -> int:
+    """The residual leaf size of the four-step decomposition."""
+    ln = log_n
+    while ln > MAX_LEAF_LOG:
+        ln -= LOG_R
+    return ln
+
+
+def mxu_mats(log_n: int, inverse: bool) -> tuple:
+    """(stage, leaf) device Toeplitz matrices for a size-2^log_n
+    transform — pass these INTO the jitted transform as arguments
+    (device arrays as args become executable parameters; closures
+    would be inlined as giant HLO literals). Eager-only: never call
+    inside a trace."""
+    key = (log_n, inverse)
+    if key not in _MATS_DEVICE:
+        _MATS_DEVICE[key] = (
+            jnp.asarray(_dft_matrix(LOG_R, inverse)),
+            jnp.asarray(_dft_matrix(_leaf_log(log_n), inverse)),
+        )
+    return _MATS_DEVICE[key]
+
+
+def _step_twiddle_exp(top_log: int, ln: int) -> jnp.ndarray:
+    """(n1, n2) int32 exponent matrix for level-ln inter-stage twiddles,
+    built IN-GRAPH from iotas: w_{2^ln}^(k1*i2) = w_top^(stride*k1*i2)
+    with stride = 2^(top-ln), so the (16, n_top) domain table passed as
+    a jit argument serves every recursion level (no per-level cached
+    tables -> nothing to inline). Bounds: k1 < 2^7, (i2*stride) %
+    n_top... i2*stride <= 2^(top-7) and k1*e2 < 2^(top+7) — int32-safe
+    through top_log = 24."""
+    n_top = 1 << top_log
+    n1 = 1 << LOG_R
+    n2 = 1 << (ln - LOG_R)
+    stride = 1 << (top_log - ln)
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+    e2 = (i2 * jnp.int32(stride)) % jnp.int32(n_top)
+    return (k1 * e2) % jnp.int32(n_top)
 
 
 def _ensure_constants(log_n: int, inverse: bool):
-    """Populate every cache the (traced) transform will touch — must
-    run EAGERLY (outside jit): get_domain builds twiddles on device and
-    a trace-time build would cache tracers. Afterwards the cached
-    numpy constants are moved to DEVICE arrays so the traced closure
-    captures concrete jax Arrays — jax lifts those to executable
-    PARAMETERS instead of inlining them into the HLO (a (16, n) step
-    table inlined as a literal blows the remote-compile request size
-    at 2^21: HTTP 413)."""
-    global _REDUCE_CONST
-    ln = log_n
-    while ln > MAX_LEAF_LOG:
-        _step_twiddles(ln, LOG_R, inverse)
-        _dft_matrix(LOG_R, inverse)
-        ln -= LOG_R
-    _dft_matrix(ln, inverse)
+    """Build every eager constant the (traced) transform needs: the
+    device Toeplitz matrices (handed to the jit as ARGUMENTS), the
+    mod-p fold matrix, and the NTT domain. Must run OUTSIDE jit:
+    get_domain builds twiddles on device and a trace-time build would
+    cache tracers."""
+    mxu_mats(log_n, inverse)
     _reduce_const_cached()
-    if inverse:
-        ntt_ops.get_domain(log_n)
-    for cache in (_TOEPLITZ_CACHE, _TWIDDLE_CACHE):
-        for k, v in list(cache.items()):
-            if isinstance(v, np.ndarray):
-                cache[k] = jnp.asarray(v)
-    if isinstance(_REDUCE_CONST, np.ndarray):
-        _REDUCE_CONST = jnp.asarray(_REDUCE_CONST)
+    ntt_ops.get_domain(log_n)
 
 
 def release_constants():
-    """Free every module-held device constant (Toeplitz digit matrices,
-    step-twiddle tables, the mod-p fold matrix). Called from
-    CacheManager.evict / ntt.release_domain — at 2^22 the step-twiddle
-    table alone is ~256 MB of HBM, which must not outlive the domain."""
+    """Free every module-held device constant (Toeplitz digit
+    matrices). Called from CacheManager.evict / ntt.release_domain —
+    domain-derived device arrays must not outlive the domain."""
     global _REDUCE_CONST
     _TOEPLITZ_CACHE.clear()
-    _TWIDDLE_CACHE.clear()
+    _MATS_DEVICE.clear()
     _REDUCE_CONST = None
 
 
 # ------------------------------------------------------------- transform
 
-def _ntt_rec(x: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
-    """(16, M, n) natural order -> (16, M, n) natural order (no 1/n)."""
+def _ntt_rec(x: jnp.ndarray, log_n: int, inverse: bool, tw_dom, mats,
+             top_log: int) -> jnp.ndarray:
+    """(16, M, n) natural order -> (16, M, n) natural order (no 1/n).
+
+    tw_dom: (16, n_top) direction-matched domain power table (jit arg);
+    mats: (stage, leaf) Toeplitz device matrices (jit args)."""
     if log_n <= MAX_LEAF_LOG:
-        return _dft_apply(x, _dft_matrix(log_n, inverse), 1 << log_n, 1 << log_n)
+        return _dft_apply(x, mats[1], 1 << log_n, 1 << log_n)
     log_n1 = LOG_R
     log_n2 = log_n - log_n1
     n1, n2 = 1 << log_n1, 1 << log_n2
@@ -311,16 +324,21 @@ def _ntt_rec(x: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
     # columns over i1 (x[i1*n2 + i2]): bring i1 last
     t = x.reshape(nlimb, m, n1, n2)
     t = jnp.swapaxes(t, -1, -2)                    # (16, M, n2, n1)
-    t = _dft_apply(t.reshape(nlimb, m * n2, n1), _dft_matrix(log_n1, inverse), n1, n1)
+    t = _dft_apply(t.reshape(nlimb, m * n2, n1), mats[0], n1, n1)
     t = t.reshape(nlimb, m, n2, n1)                # [i2][k1]
 
-    # inter-step twiddles w_n^(k1*i2)
-    tw = _step_twiddles(log_n, log_n1, inverse)    # (16, n1, n2)
+    # inter-step twiddles w_n^(k1*i2), gathered in-graph from the
+    # top-level domain table (see _step_twiddle_exp)
+    exp = _step_twiddle_exp(top_log, log_n)        # (n1, n2)
+    tw = jnp.take(tw_dom, exp.reshape(-1), axis=1).reshape(
+        nlimb, n1, n2
+    )
     t = lb.mont_mul(t, jnp.swapaxes(tw, -1, -2)[:, None], FR_SPEC)
 
     # rows over i2 for each k1: bring i2 last
     t = jnp.swapaxes(t, -1, -2)                    # (16, M, n1, n2)
-    t = _ntt_rec(t.reshape(nlimb, m * n1, n2), log_n2, inverse)
+    t = _ntt_rec(t.reshape(nlimb, m * n1, n2), log_n2, inverse,
+                 tw_dom, mats, top_log)
     t = t.reshape(nlimb, m, n1, n2)                # [k1][k2]
 
     # natural order: X[k1 + n1*k2] -> k2-major flat
@@ -329,11 +347,11 @@ def _ntt_rec(x: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("log_n", "inverse"))
-def _ntt_mxu_jit(x: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
-    out = _ntt_rec(x, log_n, inverse)
+def _ntt_mxu_jit(x: jnp.ndarray, tw_dom, n_inv_mont, mats, log_n: int,
+                 inverse: bool) -> jnp.ndarray:
+    out = _ntt_rec(x, log_n, inverse, tw_dom, mats, log_n)
     if inverse:
-        dom = ntt_ops.get_domain(log_n)
-        out = lb.mont_mul(out, np.asarray(dom.n_inv_mont)[:, :, :1], FR_SPEC)
+        out = lb.mont_mul(out, n_inv_mont[:, :, :1], FR_SPEC)
     return out
 
 
@@ -345,4 +363,8 @@ def ntt_mxu(x: jnp.ndarray, log_n: int, inverse: bool = False) -> jnp.ndarray:
     """
     assert x.shape[-1] == 1 << log_n
     _ensure_constants(log_n, inverse)  # eager: caches must not hold tracers
-    return _ntt_mxu_jit(x, log_n, inverse)
+    dom = ntt_ops.get_domain(log_n)
+    tw = dom.tw_inv if inverse else dom.tw_fwd
+    return _ntt_mxu_jit(
+        x, tw, dom.n_inv_mont, mxu_mats(log_n, inverse), log_n, inverse
+    )

@@ -79,6 +79,7 @@ def _segment_reduce(prod, segments, num_segments, level2):
 def _construct_r1cs_jit(
     witness, coefs, witness_idx, segments, num_segments,
     seg2, nseg2, keys, tw_fwd, tw_inv, n_inv_mont, log_n, use_mxu=False,
+    mxu_mats=None,
 ):
     """witness (16, n_vars) standard limbs -> h scalars (16, n) standard.
 
@@ -105,7 +106,9 @@ def _construct_r1cs_jit(
     # ---- coset evaluation, batch=3
     vec = jnp.stack([a_vals, b_vals, c_vals], axis=1)  # (16, 3, n)
     if use_mxu:
-        odd = _coset_eval_mxu(vec, keys, log_n)
+        odd = _coset_eval_mxu(
+            vec, keys, log_n, tw_fwd, tw_inv, n_inv_mont, mxu_mats
+        )
     else:
         coeffs_br = ntt_ops.intt_dif(vec, tw_inv, n_inv_mont)
         shifted = lb.mont_mul(coeffs_br, keys[:, None, :], FR_SPEC)
@@ -132,14 +135,24 @@ def _use_mxu_ntt(log_n: int) -> bool:
     return bool(min_log) and log_n >= min_log
 
 
-def _coset_eval_mxu(vals, keys_natural, log_n: int):
+def _coset_eval_mxu(vals, keys_natural, log_n: int, tw_fwd, tw_inv,
+                    n_inv_mont, mxu_mats):
     """Natural-order coset evaluation on the MXU: INTT -> key powers ->
-    NTT. vals (16, B, n); keys (16, n) natural order."""
+    NTT. vals (16, B, n); keys (16, n) natural order; tw_fwd/tw_inv the
+    natural domain power tables and mxu_mats = (mats_fwd, mats_inv) the
+    Toeplitz device matrices — all threaded through as JIT ARGUMENTS
+    (closed-over tables were inlined as dense HLO literals; the 2^21
+    step table alone was a 134 MB literal -> remote-compile HTTP 413)."""
     from ..ops import mxu_ntt
 
-    coeff = mxu_ntt._ntt_mxu_jit.__wrapped__(vals, log_n, True)
+    mats_fwd, mats_inv = mxu_mats
+    coeff = mxu_ntt._ntt_mxu_jit.__wrapped__(
+        vals, tw_inv, n_inv_mont, mats_inv, log_n, True
+    )
     shifted = lb.mont_mul(coeff, keys_natural[:, None, :], FR_SPEC)
-    return mxu_ntt._ntt_mxu_jit.__wrapped__(shifted, log_n, False)
+    return mxu_ntt._ntt_mxu_jit.__wrapped__(
+        shifted, tw_fwd, n_inv_mont, mats_fwd, log_n, False
+    )
 
 
 def _force(x):
@@ -170,11 +183,14 @@ def _mul_jit(a, b):
 
 @partial(jax.jit, static_argnames=("use_mxu", "log_n"))
 def _coset_eval_jit(vals, keys, tw_fwd, tw_inv, n_inv_mont,
-                    use_mxu=False, log_n=0):
+                    use_mxu=False, log_n=0, mxu_mats=None):
     """One polynomial: INTT -> coset key powers -> NTT (batch=1).
     `keys` bit-reversed (VPU path) or natural (MXU path)."""
     if use_mxu:
-        return _coset_eval_mxu(vals[:, None, :], keys, log_n)[:, 0]
+        return _coset_eval_mxu(
+            vals[:, None, :], keys, log_n, tw_fwd, tw_inv, n_inv_mont,
+            mxu_mats,
+        )[:, 0]
     coeffs_br = ntt_ops.intt_dif(vals[:, None, :], tw_inv, n_inv_mont)
     shifted = lb.mont_mul(coeffs_br, keys[:, None, :], FR_SPEC)
     return ntt_ops.ntt_dit(shifted, tw_fwd)[:, 0]
@@ -195,17 +211,23 @@ def construct_r1cs(witness, cache: ZKeyCache):
     dom = ntt_ops.get_domain(log_n)
     seg2, nseg2 = (plan.level2 if plan.level2 is not None else (None, 0))
     use_mxu = _use_mxu_ntt(log_n)
+    mxu_mats = None
     if use_mxu:
         from ..ops import mxu_ntt
 
         mxu_ntt._ensure_constants(log_n, True)   # eager: caches must
         mxu_ntt._ensure_constants(log_n, False)  # not capture tracers
+        # Toeplitz matrices ride as jit ARGUMENTS (closed-over device
+        # arrays inline as dense HLO literals -> HTTP 413 at 2^21)
+        mxu_mats = (
+            mxu_ntt.mxu_mats(log_n, False), mxu_ntt.mxu_mats(log_n, True)
+        )
     keys = cache.keys if use_mxu else cache.keys_bitrev
     if log_n < SPLIT_NTT_POWER:
         return _construct_r1cs_jit(
             witness, plan.coefs, plan.witness_idx, plan.segments, plan.num_segments,
             seg2, nseg2, keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont,
-            log_n, use_mxu,
+            log_n, use_mxu, mxu_mats,
         )
     # large domains: stage the phases, forcing between them so each
     # graph's temp buffers are freed before the next launches
@@ -216,15 +238,18 @@ def construct_r1cs(witness, cache: ZKeyCache):
     _force(b_vals)
     c_vals = _mul_jit(a_vals, b_vals)
     odd_a = _coset_eval_jit(
-        a_vals, keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont, use_mxu, log_n
+        a_vals, keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont, use_mxu, log_n,
+        mxu_mats,
     )
     _force(odd_a)
     odd_b = _coset_eval_jit(
-        b_vals, keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont, use_mxu, log_n
+        b_vals, keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont, use_mxu, log_n,
+        mxu_mats,
     )
     _force(odd_b)
     odd_c = _coset_eval_jit(
-        c_vals, keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont, use_mxu, log_n
+        c_vals, keys, dom.tw_fwd, dom.tw_inv, dom.n_inv_mont, use_mxu, log_n,
+        mxu_mats,
     )
     _force(odd_c)
     return _h_from_odd_jit(odd_a, odd_b, odd_c)
