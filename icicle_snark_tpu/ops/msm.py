@@ -465,6 +465,80 @@ def precompute_bases(points_affine, ops, c: int, factor: int,
     return tuple(outs)
 
 
+def precompute_bases_host(points_affine, c: int, factor: int,
+                          g2: bool = False, scalar_bits: int = 16 * NLIMB):
+    """Numpy/refmath oracle of `precompute_bases` — bit-identical layout
+    and encoding, computed with host bigints (no XLA modules).
+
+    Used by the driver dryrun (tiny fixtures must not pay doubling-chain
+    compiles) and as the differential oracle in tests. points_affine:
+    G1 (x, y) each (16, n) Montgomery limbs, or G2 each (16, 2, n)."""
+    if factor == 1:
+        return points_affine
+    from ..refmath.field import fq_to_mont
+
+    w_total = -(-scalar_bits // c)
+    wp = -(-w_total // factor)
+    shift = c * wp
+
+    x, y = (np.asarray(a) for a in points_affine)
+    n = x.shape[-1]
+
+    def col_ints(arr):  # (16, n) Montgomery limbs -> list of standard ints
+        return [fq_from_mont(v) for v in lb.limbs_to_ints_np(arr)]
+
+    if not g2:
+        xs, ys = col_ints(x), col_ints(y)
+        base = [
+            None if (xi == 0 and yi == 0) else (xi, yi)
+            for xi, yi in zip(xs, ys)
+        ]
+        copies = [base]
+        for _ in range(factor - 1):
+            copies.append([
+                None if p is None
+                else rcv.g1_to_affine(rcv.g1_mul(rcv.g1_from_affine(p), 1 << shift))
+                for p in copies[-1]
+            ])
+        # interleave: copy m of point i at lane i*factor + m
+        out = []
+        for coord in range(2):
+            vals = np.empty((NLIMB, n * factor), np.uint32)
+            for m, cp in enumerate(copies):
+                col = lb.ints_to_limbs_np(
+                    [0 if p is None else fq_to_mont(p[coord]) for p in cp]
+                )
+                vals[:, m::factor] = col
+            out.append(vals)
+        return tuple(out)
+
+    # G2: coords (16, 2, n) Fq2 limb stacks
+    x0, x1 = col_ints(x[:, 0]), col_ints(x[:, 1])
+    y0, y1 = col_ints(y[:, 0]), col_ints(y[:, 1])
+    base = []
+    for i in range(n):
+        pt = ((x0[i], x1[i]), (y0[i], y1[i]))
+        base.append(None if pt == ((0, 0), (0, 0)) else pt)
+    copies = [base]
+    for _ in range(factor - 1):
+        copies.append([
+            None if p is None
+            else rcv.g2_to_affine(rcv.g2_mul(rcv.g2_from_affine(p), 1 << shift))
+            for p in copies[-1]
+        ])
+    out = []
+    for coord in range(2):
+        vals = np.empty((NLIMB, 2, n * factor), np.uint32)
+        for m, cp in enumerate(copies):
+            for comp in range(2):
+                col = lb.ints_to_limbs_np([
+                    0 if p is None else fq_to_mont(p[coord][comp]) for p in cp
+                ])
+                vals[:, comp, m::factor] = col
+        out.append(vals)
+    return tuple(out)
+
+
 def _merge_digit_windows(arr, factor: int, wp: int, fill):
     """(W, n) per-window rows -> (wp, n*factor) merged rows where merged
     window j lane i*factor+m = arr[j + m*wp, i]."""

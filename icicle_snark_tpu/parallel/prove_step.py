@@ -454,13 +454,21 @@ def prove_multichip(mesh, wtns_path: str, cache, deterministic: bool = False,
 
 
 def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32,
-                      max_lanes: int | None = None, c2: int | None = None):
+                      max_lanes: int | None = None, c2: int | None = None,
+                      log=None):
     """Full multi-chip device phase; returns (h_sharded, g1 window sums,
     g2 window sums).
 
     `witness`: (16, n_vars) standard-form limbs (unpadded).
+    `log`: optional callable(str) — per-step build/dispatch progress
+    (the driver dryrun uses it to leave a compile-attribution tail).
     """
+    import time as _time
+
     from .mesh import globalize
+
+    _t0 = _time.time()
+    _log = log or (lambda m: None)
 
     d = mesh.devices.size
     hdr = cache.header
@@ -512,13 +520,16 @@ def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32,
         wit_pad, coefs, wit_idx, segments, seg2_g,
         keys, tw_fwd, tw_inv, n_inv,
     )
+    _log(f"step A traced+compiled+dispatched ({_time.time()-_t0:.1f}s)")
 
     step_b = build_msm_g1_step(mesh, c, k, max_lanes, pre)
     ws_g1 = step_b(wit_pad, wit_c, h, pa, pb1, pc, ph)
+    _log(f"step B traced+compiled+dispatched ({_time.time()-_t0:.1f}s)")
     if pre2 > 1:
         c2 = cache.msm_c2
     else:
         c2 = c2 or _choose_c2(n_pts, d, max_lanes)
     step_c = build_msm_g2_step(mesh, c2, k, max(max_lanes // 2, 1), pre2)
     ws_b2 = step_c(wit_pad, pb2)
+    _log(f"step C traced+compiled+dispatched ({_time.time()-_t0:.1f}s)")
     return h, ws_g1, ws_b2
