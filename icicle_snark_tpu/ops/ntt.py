@@ -31,6 +31,20 @@ from ..fields.limbs import FR_SPEC, NLIMB
 from ..refmath.field import R_MOD, W, fr_to_mont
 
 
+def bitrev_indices_ingraph(log_n: int):
+    """In-graph bit-reversal permutation indices (device iota + shifts,
+    no host table, no HLO literal — at 2^22 a materialized index array
+    is 16 MB of constant). Lets callers keep ONLY the natural-order
+    coset key table resident and derive the bit-reversed gather inside
+    the jit (HBM: one (16, n) table instead of two — 256 MB saved at
+    2^22, VERDICT r3 item 7)."""
+    i = jnp.arange(1 << log_n, dtype=jnp.int32)
+    r = jnp.zeros_like(i)
+    for b in range(log_n):
+        r = r | (((i >> b) & 1) << (log_n - 1 - b))
+    return r
+
+
 def bitrev_permutation(log_n: int) -> np.ndarray:
     """Index array: out[i] = bit-reverse of i (numpy, host-precomputed)."""
     n = 1 << log_n

@@ -84,8 +84,8 @@ def build_r1cs_coset_step(mesh, log_n: int, num_segments: int, nseg2: int = 0):
       witness (16, n_vars_pad) replicated;
       coefs (16, n_coef_pad) / wit_idx / segments sharded on records;
       seg2 (num_segments,) replicated (level2) or (1,) dummy;
-      keys (16, n) replicated — NATURAL order on the distributed path,
-        BIT-REVERSED on the replicated fallback;
+      keys (16, n) replicated — NATURAL order (the replicated fallback
+        bit-reverses in-graph);
       domain tables (replicated).
     """
     d = mesh.devices.size
@@ -176,8 +176,9 @@ def build_r1cs_coset_step(mesh, log_n: int, num_segments: int, nseg2: int = 0):
         # ---- replicated fallback (domain too small to tile the mesh)
         c_vals = lb.mont_mul(a_full, b_full, FR_SPEC)
         vec = jnp.stack([a_full, b_full, c_vals], axis=1)
+        keys_br = keys[:, ntt_ops.bitrev_indices_ingraph(log_n)]
         coeffs_br = ntt_ops.intt_dif(vec, tw_inv, n_inv_mont)
-        shifted = lb.mont_mul(coeffs_br, keys[:, None, :], FR_SPEC)
+        shifted = lb.mont_mul(coeffs_br, keys_br[:, None, :], FR_SPEC)
         odd = ntt_ops.ntt_dit(shifted, tw_fwd)
         h_raw = lb.sub_mod(
             lb.mont_mul(odd[:, 0], odd[:, 1], FR_SPEC), odd[:, 2], FR_SPEC
@@ -511,8 +512,7 @@ def run_sharded_prove(mesh, cache, witness, c: int | None = None, k: int = 32,
     pb2 = tuple(globalize(mesh, g2, a) for a in pads["pb2"])
 
     step_a = build_r1cs_coset_step(mesh, hdr.power, cache.plan.num_segments, nseg2)
-    keys = cache.keys if step_a.use_dist else cache.keys_bitrev
-    keys = globalize(mesh, rep, keys)
+    keys = globalize(mesh, rep, cache.keys)  # natural order on both paths
     tw_fwd = globalize(mesh, rep, dom.tw_fwd)
     tw_inv = globalize(mesh, rep, dom.tw_inv)
     n_inv = globalize(mesh, rep, dom.n_inv_mont)

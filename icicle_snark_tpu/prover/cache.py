@@ -17,8 +17,9 @@ powers. Differences, by TPU design:
     all on device (see pipeline.construct_r1cs).
   * Coset key powers are generated on device by log-doubling
     (ops.ntt.powers_mont) instead of the reference's disk-memoized
-    host loop (cache.rs:264-289), and stored pre-permuted into
-    bit-reversed order so the NTT pipeline never reorders.
+    host loop (cache.rs:264-289); only the NATURAL-order table is
+    kept resident — the VPU pipeline's bit-reversed view is a
+    constant-index gather derived in-graph.
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ from ..fields.limbs import NLIMB
 from ..io import native
 from ..io.zkey import ZKeyFile, ZKeyHeader
 from ..ops import msm as msm_ops
-from ..ops.ntt import bitrev_permutation, get_domain, powers_mont, release_domain
+from ..ops.ntt import get_domain, powers_mont, release_domain
 from ..refmath.field import W
 
 # segment_sum over 16-bit limb columns is exact while every output slot
@@ -70,8 +71,11 @@ class ZKeyCache:
     points_b2: tuple   # (x, y): each (2, 16, n_vars * msm_pre2)
     points_c: tuple
     points_h: tuple
-    keys_bitrev: jnp.ndarray  # (16, n) Montgomery coset key powers, bit-reversed
-    keys: jnp.ndarray = None  # (16, n) natural order (multi-chip four-step path)
+    # (16, n) Montgomery coset key powers, NATURAL order. The single
+    # table serves every path — the VPU pipeline derives its
+    # bit-reversed gather in-graph (ops/ntt.py bitrev_indices_ingraph),
+    # halving the resident key footprint (256 MB at 2^22).
+    keys: jnp.ndarray = None
     # MSM plan baked at cache build: the base-precompute copies are tied
     # to the window size they were shifted for (2^(c*wp) steps), so the
     # prove MUST use these (c, factor) pairs (reference analog:
@@ -203,7 +207,6 @@ def load_zkey_cache(zkey_path: str) -> ZKeyCache:
 
     inc = W[hdr.power + 1]  # coset generator g with g^n = -1 (cache.rs:168)
     keys = powers_mont(inc, hdr.power)  # (16, n) Montgomery, device-generated
-    keys_bitrev = keys[:, jnp.asarray(bitrev_permutation(hdr.power))]
 
     get_domain(hdr.power)  # warm the twiddle cache (reference: initialize_domain)
 
@@ -227,7 +230,6 @@ def load_zkey_cache(zkey_path: str) -> ZKeyCache:
         points_b2=_pre_g2(_g2_device(zk.points_b2()), c2, pre2),
         points_c=_pre_g1(_g1_device(zk.points_c()), c1, pre1),
         points_h=_pre_g1(_g1_device(zk.points_h()), c1, pre1),
-        keys_bitrev=keys_bitrev,
         keys=keys,
         msm_c=c1, msm_pre=pre1, msm_c2=c2, msm_pre2=pre2,
     )

@@ -83,8 +83,9 @@ def _construct_r1cs_jit(
 ):
     """witness (16, n_vars) standard limbs -> h scalars (16, n) standard.
 
-    `keys` is the coset key-power table: BIT-REVERSED order for the
-    default reorder-free VPU pipeline, NATURAL order when use_mxu."""
+    `keys` is the coset key-power table in NATURAL order; the VPU
+    pipeline derives its bit-reversed gather in-graph (only one table
+    stays HBM-resident — 256 MB saved at 2^22)."""
     n = 1 << log_n
 
     # ---- R1CS evaluation: one gather + batched mul + segment reduce
@@ -110,8 +111,9 @@ def _construct_r1cs_jit(
             vec, keys, log_n, tw_fwd, tw_inv, n_inv_mont, mxu_mats
         )
     else:
+        keys_br = keys[:, ntt_ops.bitrev_indices_ingraph(log_n)]
         coeffs_br = ntt_ops.intt_dif(vec, tw_inv, n_inv_mont)
-        shifted = lb.mont_mul(coeffs_br, keys[:, None, :], FR_SPEC)
+        shifted = lb.mont_mul(coeffs_br, keys_br[:, None, :], FR_SPEC)
         odd = ntt_ops.ntt_dit(shifted, tw_fwd)
 
     # ---- h = (A*B - C) on the coset, then repay the R^-1
@@ -185,14 +187,15 @@ def _mul_jit(a, b):
 def _coset_eval_jit(vals, keys, tw_fwd, tw_inv, n_inv_mont,
                     use_mxu=False, log_n=0, mxu_mats=None):
     """One polynomial: INTT -> coset key powers -> NTT (batch=1).
-    `keys` bit-reversed (VPU path) or natural (MXU path)."""
+    `keys` NATURAL order (VPU path bit-reverses in-graph)."""
     if use_mxu:
         return _coset_eval_mxu(
             vals[:, None, :], keys, log_n, tw_fwd, tw_inv, n_inv_mont,
             mxu_mats,
         )[:, 0]
+    keys_br = keys[:, ntt_ops.bitrev_indices_ingraph(log_n)]
     coeffs_br = ntt_ops.intt_dif(vals[:, None, :], tw_inv, n_inv_mont)
-    shifted = lb.mont_mul(coeffs_br, keys[:, None, :], FR_SPEC)
+    shifted = lb.mont_mul(coeffs_br, keys_br[:, None, :], FR_SPEC)
     return ntt_ops.ntt_dit(shifted, tw_fwd)[:, 0]
 
 
@@ -222,7 +225,7 @@ def construct_r1cs(witness, cache: ZKeyCache):
         mxu_mats = (
             mxu_ntt.mxu_mats(log_n, False), mxu_ntt.mxu_mats(log_n, True)
         )
-    keys = cache.keys if use_mxu else cache.keys_bitrev
+    keys = cache.keys  # natural order; VPU path bit-reverses in-graph
     if log_n < SPLIT_NTT_POWER:
         return _construct_r1cs_jit(
             witness, plan.coefs, plan.witness_idx, plan.segments, plan.num_segments,
