@@ -249,18 +249,67 @@ def profile_msm(log_n: int, reps: int, baseline: float, c: int | None = None) ->
     )
 
 
+def _scaling_report_cpu_mesh() -> list:
+    """Fallback mesh sweep on an 8-virtual-device CPU mesh (subprocess,
+    lean limb graphs): exercises the REAL sharded-MSM collective path
+    (parallel/msm_shard.py) when only one physical chip is exposed.
+    All virtual devices share one core, so ideal scaling is FLAT;
+    `efficiency` here bounds collective+imbalance overhead (the same
+    protocol as BASELINE.md's multi-chip evidence), not speedup."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_NUM_CPU_DEVICES"] = "8"
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=8"
+        " --xla_backend_optimization_level=0"
+        " --xla_llvm_disable_expensive_passes=true"
+    )
+    env["ISTPU_CARRY_UNROLL"] = "1"
+    env["ISTPU_MONT_UNROLL"] = "1"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(repo, ".jax_cache_cpu")
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "jax.config.update('jax_num_cpu_devices', 8); "
+        "from icicle_snark_tpu import profiling as P; "
+        "import json; "
+        "print('SCALING=' + json.dumps(P.scaling_report()))" % repo
+    )
+    try:
+        out = subprocess.run(
+            [_sys.executable, "-c", code], env=env, cwd=repo,
+            capture_output=True, text=True, timeout=1800,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("SCALING="):
+                rows = json.loads(line[len("SCALING="):])
+                for r in rows:
+                    r["note"] = ("8 virtual CPU devices, ONE core: flat ideal; "
+                                 "efficiency bounds collective overhead")
+                return rows
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        return [{"mesh": 1, "note": f"cpu-mesh sweep failed: {exc}"}]
+    return [{"mesh": 1, "note": "cpu-mesh sweep produced no output"}]
+
+
 def scaling_report(reps: int = 2) -> list:
-    """MSM throughput per mesh size (1..n_devices). On this image only
-    one real chip is exposed; with a real slice this sweeps the sharded
+    """MSM throughput per mesh size (1..n_devices): sweeps the sharded
     MSM (parallel/msm_shard.py) across mesh sizes and reports parallel
-    efficiency vs the 1-device number."""
+    efficiency vs the 1-device number. With a single physical chip the
+    sweep runs on the virtual CPU mesh instead (collective-overhead
+    bound — see _scaling_report_cpu_mesh)."""
     import jax
 
     devs = jax.devices()
     sizes = [s for s in (1, 2, 4, 8, 16) if s <= len(devs)]
     rows = []
     if len(devs) == 1:
-        return [{"mesh": 1, "note": "single chip exposed; N-chip sweep needs a real slice"}]
+        return _scaling_report_cpu_mesh()
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
@@ -340,6 +389,11 @@ def _write_md(path: str, baseline: float, entries: list, scaling: list):
         "amortized full-array probes — tools/vpu_ceiling_probe.py; per-op:",
         "add 0.77T, mul 0.51T, mul+mask 0.66T; Pallas == XLA for this mix),",
         "HBM 819 GB/s, MXU ~200 Tflop/s bf16 (v5e).",
+        "",
+        "Protocol note (r3): mont_mul through a prove-shaped DEPENDENT",
+        "chain sustains ~227 Mmul/s at 2^18 lanes — the planning rate for",
+        "the MSM scan phase (~50 ns/lane-add ~= 12 muls); independent",
+        "streams reach ~650 Mmul/s. This table measures the chained rate.",
         "",
         "| kernel | time | throughput | bound | SoL time | utilization |",
         "|---|---|---|---|---|---|",
