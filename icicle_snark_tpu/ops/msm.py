@@ -114,11 +114,12 @@ def choose_c_pre(n: int, groups: int = 1, g2: bool = False,
     cap = max_lanes or (MSM_MAX_LANES // 2 if g2 else MSM_MAX_LANES)
     f_max = max(1, min(MSM_PRE_MAX, budget // max(1, bytes_lane * n)))
     if n > MSM_PRE_N_KNEE:
-        # beyond the measured f>1 payoff range (see MSM_PRE_N_KNEE).
-        # Also covers the out-of-core regime: sliced f>1 is unvalidated,
-        # and the cache-build doubling chain over a 2^21-lane points_h
-        # crashed the TPU worker at 1.6M (kernel fault) — keep large
-        # MSMs on the plain layout until that is understood.
+        # beyond the measured f>1 payoff range (see MSM_PRE_N_KNEE) and
+        # into the out-of-core regime where sliced f>1 is unvalidated.
+        # (The round-3 "kernel fault at 1.6M" is DIAGNOSED and fixed:
+        # an XLA:TPU backend bug on unaligned Fq2 fori-loop chains —
+        # precompute_bases now pads lanes to 256. This gate is purely
+        # the measured perf knee now.)
         f_max = 1
     best, best_cost = (choose_c(n, groups), 1), None
     for c in range(10, 17):
@@ -429,10 +430,24 @@ def precompute_bases(points_affine, ops, c: int, factor: int,
 
     Mirrors the reference's precompute_bases + precompute_factor
     (wrappers/rust/icicle-core/src/msm/mod.rs:175-190, shifted copies
-    2^{lc}*P per cuda_msm.cuh precompute kernel)."""
+    2^{lc}*P per cuda_msm.cuh precompute kernel).
+
+    The doubling chain runs CHUNKED (lax.map over <= 2^19-lane slices,
+    infinity-padded to a chunk multiple): the XLA:TPU backend
+    kernel-faults (worker crash, not OOM — reproduced with only the
+    input resident) on wide fori_loop Fq2 (16, 2, N) point-doubling
+    graphs. Bisected round 4 (tools/dbl_chain_repro.py, ROADMAP):
+    unaligned N crashes from ~7e5 (786,433 yes / 600,003 no), and
+    even 256/512/1024/16384-aligned N crash from ~1.6e6 (1,600,512
+    yes / 1,599,488 no) while pow2-ish 1,572,864 is fine; the G1
+    (16, N) layout is unaffected at identical sizes. The round-3
+    'points_h crash' was this bug, mis-attributed by async dispatch.
+    Chunking bounds every fused chain far below the crash region and
+    is exact (infinity pad lanes are dropped by the final slice)."""
     if factor == 1:
         return points_affine
     x, y = points_affine
+    n_real = x.shape[-1]
     w_total = -(-scalar_bits // c)
     wp = -(-w_total // factor)
     shift = c * wp
@@ -442,13 +457,39 @@ def precompute_bases(points_affine, ops, c: int, factor: int,
     copies = [(x, y)]
     cur = (x, y, z)
 
+    chunk = 1 << 19
+
     def dbl_k(p, k):
-        stacked = jc.point_stack(p)
+        stacked = jc.point_stack(p)  # (3, coords..., n)
+        n = stacked.shape[-1]
 
         def body(_, s):
             return jc.point_stack(jc.pdbl(ops, jc.point_unstack(s)))
 
-        return jc.point_unstack(jax.lax.fori_loop(0, k, body, stacked))
+        if n <= chunk:
+            return jc.point_unstack(jax.lax.fori_loop(0, k, body, stacked))
+        # chunked: bound every fused chain below the backend crash
+        # region (see docstring); pad lanes with zeros (projective
+        # (0,0,0) doubles to itself harmlessly) and slice back
+        nch = -(-n // chunk)
+        pad = nch * chunk - n
+        if pad:
+            stacked = jnp.concatenate(
+                [stacked, jnp.zeros(stacked.shape[:-1] + (pad,), stacked.dtype)],
+                axis=-1,
+            )
+        st = jnp.moveaxis(
+            stacked.reshape(stacked.shape[:-1] + (nch, chunk)), -2, 0
+        )  # (nch, 3, coords..., chunk)
+
+        def one_chunk(cstate):
+            return jax.lax.fori_loop(0, k, body, cstate)
+
+        out = jax.lax.map(one_chunk, st)
+        out = jnp.moveaxis(out, 0, -2).reshape(
+            stacked.shape[:-1] + (nch * chunk,)
+        )[..., :n]
+        return jc.point_unstack(out)
 
     for _ in range(factor - 1):
         cur = dbl_k(cur, shift)
@@ -461,7 +502,10 @@ def precompute_bases(points_affine, ops, c: int, factor: int,
     outs = []
     for i in range(2):
         arr = jnp.stack([cp[i] for cp in copies], axis=-1)  # (..., n, p)
-        outs.append(arr.reshape(arr.shape[:-2] + (arr.shape[-2] * arr.shape[-1],)))
+        flat = arr.reshape(arr.shape[:-2] + (arr.shape[-2] * arr.shape[-1],))
+        # drop the alignment padding: interleaved layout puts padded
+        # points' copies at lanes >= n_real * factor
+        outs.append(flat[..., : n_real * factor])
     return tuple(outs)
 
 
