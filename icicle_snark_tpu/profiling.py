@@ -288,9 +288,16 @@ def _scaling_report_cpu_mesh() -> list:
         for line in out.stdout.splitlines():
             if line.startswith("SCALING="):
                 rows = json.loads(line[len("SCALING="):])
+                t1 = rows[0].get("time_s") if rows else None
                 for r in rows:
+                    r.pop("efficiency", None)  # speedup semantics: wrong here
+                    if t1:
+                        # ONE core serializes all virtual devices, so the
+                        # ideal is FLAT time; vs_d1 > 1 bounds the
+                        # collective + imbalance overhead of the mesh
+                        r["vs_d1"] = round(r["time_s"] / t1, 3)
                     r["note"] = ("8 virtual CPU devices, ONE core: flat ideal; "
-                                 "efficiency bounds collective overhead")
+                                 "vs_d1-1 bounds collective overhead")
                 return rows
     except Exception as exc:  # pragma: no cover - diagnostics only
         return [{"mesh": 1, "note": f"cpu-mesh sweep failed: {exc}"}]
@@ -337,6 +344,7 @@ def scaling_report(reps: int = 2) -> list:
                 mesh=mesh,
                 in_specs=(P(None, AXIS),) * 3,
                 out_specs=P(),
+                check_vma=False,
             )
         )
         np.asarray(f(sc, x, y))  # compile
@@ -407,7 +415,14 @@ def _write_md(path: str, baseline: float, entries: list, scaling: list):
     lines += ["", "## Mesh scaling (MSM)", ""]
     for row in scaling:
         lines.append(f"- {json.dumps(row)}")
-    lines.append("")
+    lines += [
+        "",
+        "Real-chip evidence (one v5e exposed): the D=1 degenerate-mesh",
+        "sharded prove costs +1.0% vs the single-chip pipeline at 100k",
+        "(tools/multichip_bench.py; BASELINE.md multi-chip section holds",
+        "the full table and the N-chip projection model).",
+        "",
+    ]
     with open(path, "w") as fh:
         fh.write("\n".join(lines))
 
