@@ -76,3 +76,27 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.fspath.basename in FAST_FILES:
             item.add_marker(_pytest.mark.fast)
+
+
+import pytest as _pytest_mod
+
+
+@_pytest_mod.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite compiles ~150 big limb-arithmetic modules in one
+    process; with all of them live, XLA:CPU's executable
+    (de)serialization segfaulted twice near the end of the run
+    (jax compilation_cache put/get_executable_and_time — process-
+    cumulative state, neither half of the suite reproduces alone).
+    Modules rarely share jit entries across files, so dropping the
+    in-process caches at module boundaries costs little and keeps the
+    full `pytest tests/` invocation green."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
