@@ -290,27 +290,15 @@ def main():
 
 
 def _spawn_dryrun_warmup():
-    """Fire-and-forget: pre-build the driver dryrun's machine-keyed
-    XLA:CPU compile cache (it cannot ship in git — CPU executables are
-    feature-keyed per machine). Detached (setsid) so it survives this
-    process, niced to 19 so it only consumes idle cycles, output to a
-    file so no inherited pipe keeps the driver waiting on bench."""
-    import subprocess
-
-    repo = os.path.dirname(os.path.abspath(__file__))
-    logf = open(os.path.join(repo, ".jax_cache_dryrun_warmup.log"), "ab")
+    """Pre-build the driver dryrun's machine-keyed XLA:CPU compile
+    cache (shared implementation in __graft_entry__; detached + niced,
+    single-flight). Also fired from entry() for earlier lead time."""
     try:
-        subprocess.Popen(
-            [sys.executable, "-u", "-c",
-             "import os, sys; os.nice(19); sys.path.insert(0, %r); "
-             "import __graft_entry__ as ge; ge.warm_dryrun_cache(8)" % repo],
-            cwd=repo, stdout=logf, stderr=subprocess.STDOUT,
-            stdin=subprocess.DEVNULL, start_new_session=True,
-        )
+        import __graft_entry__ as ge
+
+        ge.spawn_dryrun_warmup(8)
     except Exception as exc:  # warmup is best-effort insurance only
         log(f"dryrun warmup spawn failed: {exc}")
-    finally:
-        logf.close()
 
 
 if __name__ == "__main__":
