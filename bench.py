@@ -208,6 +208,26 @@ def ensure_sha256_fixture() -> tuple:
     return zkey, vk, wtns
 
 
+def _queue_probe():
+    """Time one tiny unique-shape jit compile+fetch and log it. The
+    remote-TPU compile service is a shared queue; killed clients leave
+    jobs running service-side and a wedged queue turns every compile
+    into minutes (ROADMAP 'compile-queue wedge' incident). Healthy:
+    ~1-3 s (incl. ~31 ms tunnel RTT). A high number up front makes a
+    slow/failed bench run self-diagnosing from its stderr tail."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    # prime-sized shape: never matches a cached executable
+    x = jnp.arange(8009, dtype=jnp.uint32)
+    np.asarray(jax.jit(lambda a: (a * a + 12289) % 65521)(x))[:1]
+    dt = time.time() - t0
+    level = "healthy" if dt < 10 else "BACKED UP — expect slow compiles"
+    log(f"compile-queue probe: {dt:.1f}s ({level})")
+
+
 def main():
     n_constraints = int(os.environ.get("BENCH_CONSTRAINTS", "100000"))
     circuit = os.environ.get("BENCH_CIRCUIT", "complex")
@@ -216,6 +236,7 @@ def main():
     import jax
 
     log(f"jax devices: {jax.devices()}")
+    _queue_probe()
     if circuit == "sha256":
         zkey, vk, wtns = ensure_sha256_fixture()
         metric_name = "groth16_prove_sha256_512_warm"
