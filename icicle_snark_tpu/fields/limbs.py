@@ -21,6 +21,8 @@ All functions are jit-traceable, shape-static, and branch-free.
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from dataclasses import dataclass
 from functools import partial
 
@@ -47,6 +49,40 @@ MONT_UNROLL = int(os.environ.get("ISTPU_MONT_UNROLL", "1"))
 # scan body — ~3x smaller graphs, which is what makes cold XLA:CPU
 # compiles (driver dryrun, tests) fit their budget.
 CARRY_UNROLL = int(os.environ.get("ISTPU_CARRY_UNROLL", "16"))
+
+# unroll_mode() serializes traces that flip the knobs above; RLock so a
+# traced function that itself enters unroll_mode (nested use) is fine.
+_MODE_LOCK = threading.RLock()
+
+
+@contextlib.contextmanager
+def unroll_mode(carry: int | None = None, mont: int | None = None):
+    """Trace-scope override of the carry/CIOS unroll factors.
+
+    The knobs are module globals read at TRACE time (not import time),
+    so the same Python function traced under different modes yields
+    different graphs: unroll_mode(1, 1) produces the compile-lean
+    lax.scan graphs (~3x smaller HLO, ~2.3x faster cold compiles —
+    ROADMAP first-prove table), the default the classic fully-unrolled
+    ripple graphs (fastest on TPU: pmadd 60.7 vs 67.2 ns/lane).
+
+    Holds _MODE_LOCK for the whole scope: concurrent traces from other
+    threads (e.g. the serve-lean background compile of the unrolled
+    twin) must not observe a half-flipped mode. Keep compiles OUTSIDE
+    the scope where possible (trace via .lower() inside, .compile()
+    outside) so the lock is held only for host-side tracing.
+    """
+    global CARRY_UNROLL, MONT_UNROLL
+    with _MODE_LOCK:
+        prev = (CARRY_UNROLL, MONT_UNROLL)
+        if carry is not None:
+            CARRY_UNROLL = carry
+        if mont is not None:
+            MONT_UNROLL = mont
+        try:
+            yield
+        finally:
+            CARRY_UNROLL, MONT_UNROLL = prev
 
 
 

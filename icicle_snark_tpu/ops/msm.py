@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import serve_lean
 from ..fields import limbs as lb
 from ..fields.limbs import NLIMB
 from ..refmath import curve as rcv
@@ -880,7 +881,7 @@ def horner_combine(window_points, c: int, g2: bool = False):
 
 # ------------------------------------------------------------------ public API
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@serve_lean.dual_mode_jit(static_argnums=(2, 3, 4))
 def _msm_g1_jit(scalar_groups, point_groups, c, k, precompute=1):
     return msm_device_grouped(
         list(scalar_groups), list(point_groups), jc.FqOps, c, k,
@@ -888,7 +889,7 @@ def _msm_g1_jit(scalar_groups, point_groups, c, k, precompute=1):
     )
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@serve_lean.dual_mode_jit(static_argnums=(2, 3, 4))
 def _msm_g2_jit(scalar_groups, point_groups, c, k, precompute=1):
     return msm_device_grouped(
         list(scalar_groups), list(point_groups), jc.Fq2Ops, c, k,

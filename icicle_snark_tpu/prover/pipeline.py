@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import serve_lean
 from ..fields import limbs as lb
 from ..fields.limbs import FR_SPEC, NLIMB
 from ..ops import msm as msm_ops
@@ -75,7 +76,10 @@ def _segment_reduce(prod, segments, num_segments, level2):
     return out
 
 
-@partial(jax.jit, static_argnames=("num_segments", "nseg2", "log_n", "use_mxu"))
+# dual_mode_jit == jax.jit unless ISTPU_SERVE_LEAN=1, which serves the
+# first prove from a compile-lean twin while this unrolled module
+# compiles in the background (serve_lean.py; ROADMAP first-prove table)
+@serve_lean.dual_mode_jit(static_argnames=("num_segments", "nseg2", "log_n", "use_mxu"))
 def _construct_r1cs_jit(
     witness, coefs, witness_idx, segments, num_segments,
     seg2, nseg2, keys, tw_fwd, tw_inv, n_inv_mont, log_n, use_mxu=False,
