@@ -39,7 +39,7 @@ U32 = jnp.uint32
 
 # lax.scan unroll factor for the CIOS rounds: 1 = smallest graph
 # (fastest compile), 16 = fully unrolled (no scan overhead at runtime).
-MONT_UNROLL = int(os.environ.get("ISTPU_MONT_UNROLL", "1"))
+MONT_UNROLL_DEFAULT = int(os.environ.get("ISTPU_MONT_UNROLL", "1"))
 
 # lax.scan unroll factor for the limb carry/borrow chains (add_mod,
 # sub_mod, _carry_canonical, _cond_sub_p, redc_wide). These chains are
@@ -48,41 +48,57 @@ MONT_UNROLL = int(os.environ.get("ISTPU_MONT_UNROLL", "1"))
 # classic unrolled ripple graph, 1 collapses each chain to a ~5-op
 # scan body — ~3x smaller graphs, which is what makes cold XLA:CPU
 # compiles (driver dryrun, tests) fit their budget.
-CARRY_UNROLL = int(os.environ.get("ISTPU_CARRY_UNROLL", "16"))
+CARRY_UNROLL_DEFAULT = int(os.environ.get("ISTPU_CARRY_UNROLL", "16"))
 
-# unroll_mode() serializes traces that flip the knobs above; RLock so a
-# traced function that itself enters unroll_mode (nested use) is fine.
-_MODE_LOCK = threading.RLock()
+# Per-thread override of the knobs above (set by unroll_mode). Thread-
+# local so concurrent traces in different threads — the serve-lean
+# background unrolled compile vs a foreground lean trace — each see
+# their own mode with no lock and no cross-thread pollution.
+_MODE_TLS = threading.local()
+
+
+def carry_unroll() -> int:
+    """The active carry-chain unroll factor (trace-time read)."""
+    return getattr(_MODE_TLS, "carry", CARRY_UNROLL_DEFAULT)
+
+
+def mont_unroll() -> int:
+    """The active CIOS-round unroll factor (trace-time read)."""
+    return getattr(_MODE_TLS, "mont", MONT_UNROLL_DEFAULT)
 
 
 @contextlib.contextmanager
 def unroll_mode(carry: int | None = None, mont: int | None = None):
     """Trace-scope override of the carry/CIOS unroll factors.
 
-    The knobs are module globals read at TRACE time (not import time),
-    so the same Python function traced under different modes yields
-    different graphs: unroll_mode(1, 1) produces the compile-lean
-    lax.scan graphs (~3x smaller HLO, ~2.3x faster cold compiles —
-    ROADMAP first-prove table), the default the classic fully-unrolled
-    ripple graphs (fastest on TPU: pmadd 60.7 vs 67.2 ns/lane).
+    The knobs are read at TRACE time (not import time), so the same
+    Python function traced under different modes yields different
+    graphs: unroll_mode(1, 1) produces the compile-lean lax.scan graphs
+    (~3x smaller HLO, ~2.3x faster cold compiles — ROADMAP first-prove
+    table), the default the classic fully-unrolled ripple graphs
+    (fastest on TPU: pmadd 60.7 vs 67.2 ns/lane).
 
-    Holds _MODE_LOCK for the whole scope: concurrent traces from other
-    threads (e.g. the serve-lean background compile of the unrolled
-    twin) must not observe a half-flipped mode. Keep compiles OUTSIDE
-    the scope where possible (trace via .lower() inside, .compile()
-    outside) so the lock is held only for host-side tracing.
+    The override is THREAD-LOCAL: entering the scope never blocks on
+    or perturbs a trace running in another thread (the serve-lean
+    background unrolled compile can trace for tens of seconds while a
+    foreground lean trace proceeds). `None` means "keep the enclosing
+    scope's value" (or the module/env default at top level).
     """
-    global CARRY_UNROLL, MONT_UNROLL
-    with _MODE_LOCK:
-        prev = (CARRY_UNROLL, MONT_UNROLL)
-        if carry is not None:
-            CARRY_UNROLL = carry
-        if mont is not None:
-            MONT_UNROLL = mont
-        try:
-            yield
-        finally:
-            CARRY_UNROLL, MONT_UNROLL = prev
+    prev_carry = getattr(_MODE_TLS, "carry", None)
+    prev_mont = getattr(_MODE_TLS, "mont", None)
+    if carry is not None:
+        _MODE_TLS.carry = carry
+    if mont is not None:
+        _MODE_TLS.mont = mont
+    try:
+        yield
+    finally:
+        for attr, prev in (("carry", prev_carry), ("mont", prev_mont)):
+            if prev is None:
+                if hasattr(_MODE_TLS, attr):
+                    delattr(_MODE_TLS, attr)
+            else:
+                setattr(_MODE_TLS, attr, prev)
 
 
 
@@ -182,7 +198,7 @@ def _lean(n: int) -> bool:
     1-core XLA:CPU hosts: tests, driver dryrun); False -> the classic
     fully-unrolled Python-loop graphs (measured fastest on TPU: pmadd
     60.7 vs 67.2 ns/lane, and far faster XLA:TPU compiles)."""
-    return CARRY_UNROLL < n
+    return carry_unroll() < n
 
 
 def _carry_scan(cols):
@@ -205,7 +221,7 @@ def _carry_scan(cols):
         return v >> LIMB_BITS, v & MASK
 
     _, limbs = jax.lax.scan(
-        body, jnp.zeros_like(cols[0]), cols, unroll=CARRY_UNROLL
+        body, jnp.zeros_like(cols[0]), cols, unroll=carry_unroll()
     )
     return limbs
 
@@ -244,7 +260,7 @@ def _cond_sub_p(limbs, spec: FieldSpec):
         return (d >> 31) & np.uint32(1), d & MASK
 
     borrow, sub = jax.lax.scan(
-        body, jnp.zeros_like(limbs[0]), (limbs, p), unroll=CARRY_UNROLL
+        body, jnp.zeros_like(limbs[0]), (limbs, p), unroll=carry_unroll()
     )
     ge_p = borrow == 0
     return jnp.where(ge_p[None], sub, limbs)
@@ -266,7 +282,7 @@ def add_mod(a, b, spec: FieldSpec):
         return v >> LIMB_BITS, v & MASK
 
     _, limbs = jax.lax.scan(
-        body, jnp.zeros_like(a[0] + b[0]), (a, b), unroll=CARRY_UNROLL
+        body, jnp.zeros_like(a[0] + b[0]), (a, b), unroll=carry_unroll()
     )
     # a + b < 2p: conditional subtract handles the 2^256 overflow too
     # (carry out of limb 15 implies >= p since p > 2^255... p < 2^254 for
@@ -301,7 +317,7 @@ def sub_mod(a, b, spec: FieldSpec):
         return (d >> 31) & np.uint32(1), d & MASK
 
     borrow, diff = jax.lax.scan(
-        body, jnp.zeros_like(a[0] - b[0]), (a, b), unroll=CARRY_UNROLL
+        body, jnp.zeros_like(a[0] - b[0]), (a, b), unroll=carry_unroll()
     )
     underflow = borrow != 0
     # add p back where we underflowed
@@ -312,7 +328,7 @@ def sub_mod(a, b, spec: FieldSpec):
         return v >> LIMB_BITS, v & MASK
 
     _, fixed = jax.lax.scan(
-        body2, jnp.zeros_like(diff[0]), (diff, p), unroll=CARRY_UNROLL
+        body2, jnp.zeros_like(diff[0]), (diff, p), unroll=carry_unroll()
     )
     return fixed
 
@@ -421,7 +437,7 @@ def _mont_mul_core(a, b, spec: FieldSpec, unroll: int | None = None):
 
     acc0 = jnp.zeros((nlimb + 1,) + shape, dtype=U32)
     xs = jnp.broadcast_to(a, (nlimb,) + shape)
-    acc, _ = jax.lax.scan(round_, acc0, xs, unroll=unroll or MONT_UNROLL)
+    acc, _ = jax.lax.scan(round_, acc0, xs, unroll=unroll or mont_unroll())
     return _carry_canonical(acc, spec)
 
 
@@ -486,7 +502,7 @@ def redc_wide(cols, spec: FieldSpec):
         )
         return w.at[0].add(carry0), None
 
-    w, _ = jax.lax.scan(round_, cols, None, length=nlimb, unroll=CARRY_UNROLL)
+    w, _ = jax.lax.scan(round_, cols, None, length=nlimb, unroll=carry_unroll())
     return _carry_canonical(w, spec)
 
 

