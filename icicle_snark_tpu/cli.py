@@ -29,6 +29,12 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Serve the first prove of each shape from the compile-lean arithmetic
+# twin (~2.3x faster cold compile) while the unrolled twin compiles in
+# the background and takes over warm serving (serve_lean.py). On by
+# default for the worker — the REPL protocol exists precisely for cold-
+# fair interactive use. ISTPU_SERVE_LEAN=0 restores unrolled-only.
+os.environ.setdefault("ISTPU_SERVE_LEAN", "1")
 
 
 def _parse_flags(tokens: list) -> dict:

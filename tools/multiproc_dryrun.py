@@ -68,10 +68,14 @@ def main() -> int:
     env_base["JAX_PLATFORMS"] = "cpu"
     env_base["ISTPU_CARRY_UNROLL"] = "1"
     env_base["ISTPU_MONT_UNROLL"] = "1"
+    # --xla_cpu_max_isa pins codegen to a baseline ISA: .jax_cache_mp is
+    # COMMITTED, so its executables must run on hosts other than the one
+    # that built them (feature-mismatched entries SIGILL — conftest note)
     env_base["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
         " --xla_backend_optimization_level=0"
         " --xla_llvm_disable_expensive_passes=true"
+        " --xla_cpu_max_isa=AVX2"
     )
     env_base["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache_mp")
     env_base["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
