@@ -1,4 +1,3 @@
-from .cli import main
-import sys
+from .cli import _main_hard_exit
 
-sys.exit(main())
+_main_hard_exit()

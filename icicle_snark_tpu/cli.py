@@ -51,7 +51,7 @@ def _parse_flags(tokens: list) -> dict:
     return flags
 
 
-def run_worker(stdin=None, stdout=None):
+def run_worker(stdin=None, stdout=None, release_after_prove=True):
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
 
@@ -87,6 +87,16 @@ def run_worker(stdin=None, stdout=None):
                 )
                 out(f"proof took: {elapsed:.3f}s")  # reference prints the same (lib.rs:244)
                 out(SENTINEL)
+                if release_after_prove:
+                    # foreground cold path done: let held background
+                    # unrolled compiles start while the worker idles on
+                    # stdin (serve_lean hot-swap; no-op when inactive).
+                    # One-shot mode skips this: the process exits right
+                    # after, and releasing would orphan the unrolled
+                    # compile jobs service-side (queue pollution).
+                    from . import serve_lean
+
+                    serve_lean.release_background()
             elif cmd == "export-vk":
                 import json
 
@@ -119,10 +129,25 @@ def main(argv=None):
         # one-shot mode: same flags, single command, then exit
         import io
 
-        code = run_worker(stdin=io.StringIO(" ".join(shlex.quote(a) for a in argv) + "\nexit\n"))
+        code = run_worker(
+            stdin=io.StringIO(" ".join(shlex.quote(a) for a in argv) + "\nexit\n"),
+            release_after_prove=False,
+        )
         return code
     return run_worker()
 
 
+def _main_hard_exit():
+    """Run the worker, then HARD-exit: ordinary interpreter teardown
+    aborts ("FATAL: exception not rethrown") when a daemon thread — the
+    serve-lean background compile, or the tunnel client's own workers —
+    is mid-C++-call as Python shuts down. Everything user-visible is
+    flushed first; bench.py exits the same way for the same reason."""
+    code = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(code)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    _main_hard_exit()

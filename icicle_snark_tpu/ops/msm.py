@@ -600,7 +600,8 @@ def _merge_digit_windows(arr, factor: int, wp: int, fill):
 # ------------------------------------------------------------------ batched core
 
 def _window_bucket_prefixes(points, rows_t, keys_w, neg_w, ops, c: int,
-                            n_groups: int, k: int, signed: bool):
+                            n_groups: int, k: int, signed: bool,
+                            sort_payload: bool = False):
     """Bucket-boundary prefixes for ONE window, all groups at once.
 
     points: group-concatenated (+pad) point arrays, (coords..., total).
@@ -631,15 +632,35 @@ def _window_bucket_prefixes(points, rows_t, keys_w, neg_w, ops, c: int,
     key2 = keys_w * jnp.int32(2)
     if signed:
         key2 = key2 + neg_w.astype(jnp.int32)
-    order = jnp.argsort(key2)
-    key_sorted = key2[order]
-    if _os.environ.get("ISTPU_PALLAS_GATHER", "0") == "1":
-        from . import pallas_gather
-
-        gathered = pallas_gather.gather_rows(rows_t, order)
+    if sort_payload:
+        # SORT-PAYLOAD reorder (round 5, default): rows_t is the PACKED
+        # COLUMN view (R/2, total) — carry the packed payload through
+        # ONE variadic stable sort instead of argsort + row gather +
+        # transpose + unpack. Measured on v5e (tools/gather_microbench):
+        # the 17-operand sort moves key+payload in ~1.1 ms at 2^18 rows
+        # where argsort (1.1) + packed row gather + transpose + unpack
+        # (4.4) cost 5.5 ms — the gather/transpose phase disappears and
+        # unpacking sorted COLUMNS is elementwise (no lane transpose).
+        # Same stable order as argsort -> bit-identical downstream.
+        sorted_ops = jax.lax.sort(
+            [key2] + [rows_t[i] for i in range(rows_t.shape[0])], num_keys=1
+        )
+        key_sorted = sorted_ops[0]
+        sp = jnp.stack(sorted_ops[1:], axis=0)          # (R/2, total)
+        rows_sorted = jnp.stack(
+            [sp & np.uint32(0xFFFF), sp >> np.uint32(16)], axis=1
+        ).reshape(2 * sp.shape[0], total)               # (R, total)
+        pts, pos = [], 0
+        for a in points:
+            nr = int(np.prod(a.shape[:-1]))
+            pts.append(rows_sorted[pos : pos + nr].reshape(a.shape))
+            pos += nr
+        pts = tuple(pts)
     else:
+        order = jnp.argsort(key2)
+        key_sorted = key2[order]
         gathered = jnp.take(rows_t, order, axis=0)  # (total, R/2) row gather
-    pts = _unpack_rows(gathered, [a.shape for a in points])
+        pts = _unpack_rows(gathered, [a.shape for a in points])
     k_sorted = key_sorted >> 1
     if signed:
         neg = (key_sorted & 1).astype(bool)
@@ -765,23 +786,42 @@ def _windows_pipeline(points, keys, negs, ops, c, k, n_groups, signed):
 
     The per-window scan body stops at the bucket-boundary prefixes;
     the telescoped reductions run once, batched over (W, G)."""
-    # row-major PACKED payload view for the per-window gather, built
-    # ONCE (see _pack_rows): halves the bytes the per-window reorder moves
-    rows_t = _pack_rows(points)
+    # PACKED payload view for the per-window reorder, built ONCE.
+    # sort-payload mode (default): packed COLUMNS (R/2, total), carried
+    # through the per-window variadic sort — no transpose anywhere.
+    # gather mode (ISTPU_SORT_PAYLOAD=0): packed ROWS (total, R/2) for
+    # the argsort + row-gather reorder (_pack_rows).
+    n_rows = sum(int(np.prod(a.shape[:-1])) for a in points)
+    # G1-class only (17 sort operands): the 33-operand G2 variadic sort
+    # is the case whose XLA compile blows up (round-2 note, reconfirmed
+    # round 5 — the G2 pipeline compile stalled the whole first prove);
+    # G2 keeps the argsort + packed row-gather reorder.
+    _sp_env = _os.environ.get("ISTPU_SORT_PAYLOAD", "1")
+    sort_payload = _sp_env == "force" or (
+        _sp_env == "1" and n_rows // 2 + 1 <= 20
+    )
+    if sort_payload:
+        rows = jnp.concatenate(
+            [a.reshape(-1, a.shape[-1]) for a in points], axis=0)
+        rows_t = rows[0::2] | (rows[1::2] << np.uint32(16))  # (R/2, total)
+    else:
+        rows_t = _pack_rows(points)
     ncoord = len(ops.coord_shape)
 
     if signed:
         def body(_, kw):
             keys_w, neg_w = kw
             pe = _window_bucket_prefixes(
-                points, rows_t, keys_w, neg_w, ops, c, n_groups, k, True)
+                points, rows_t, keys_w, neg_w, ops, c, n_groups, k, True,
+                sort_payload)
             return None, jc.point_stack(pe)
 
         _, stacked = jax.lax.scan(body, None, (keys, negs))
     else:
         def body(_, keys_w):
             pe = _window_bucket_prefixes(
-                points, rows_t, keys_w, None, ops, c, n_groups, k, False)
+                points, rows_t, keys_w, None, ops, c, n_groups, k, False,
+                sort_payload)
             return None, jc.point_stack(pe)
 
         _, stacked = jax.lax.scan(body, None, keys)

@@ -235,8 +235,18 @@ def profile_msm(log_n: int, reps: int, baseline: float, c: int | None = None) ->
         x, y, _ = _testpoints.random_g1_batch(n, seed=100 + g)
         groups_pt.append((x, y))
     c = c or msm_ops.choose_c(4 * n, groups=4)
+    # Pre-upload operands: numpy args would be re-transferred on EVERY
+    # timed call, and over the ~30 MB/s axon tunnel the ~48 MB of
+    # scalars+points costs more than the kernel itself — round 4's
+    # 1163 ms / 24.9%-of-SoL row was measuring the tunnel, not the MSM
+    # (device-resident args measure the same shape at ~531 ms / ~55%,
+    # tools/msm_phase_bench.py). The prove pipeline never pays this:
+    # points live in the ZKey cache, device-resident across proves.
+    groups_sc = jax.device_put(tuple(groups_sc))
+    groups_pt = jax.device_put(tuple(groups_pt))
+    jax.block_until_ready((groups_sc, groups_pt))
     f = lambda sc, pt: msm_ops._msm_g1_jit(sc, pt, c, 8)  # already stacked
-    t = time_kernel(f, (tuple(groups_sc), tuple(groups_pt)), reps, baseline)
+    t = time_kernel(f, (groups_sc, groups_pt), reps, baseline)
     total = 4 * n
     windows = -(-msm_ops.SCALAR_BITS // c)
     # dominant work: ~windows mixed-adds per point (chunk scan) + bucket phase

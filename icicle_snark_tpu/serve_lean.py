@@ -45,32 +45,64 @@ import functools
 import os
 import sys
 import threading
-from concurrent.futures import ThreadPoolExecutor
 
 import jax
 
 from .fields import limbs as lb
 
-# One small pool shared by every wrapper: at most 2 concurrent
-# background compiles, so the swap machinery never floods the shared
-# remote compile-service queue (killed/parallel jobs degrade it for
-# everyone — ROADMAP wedge incident).
-_POOL: ThreadPoolExecutor | None = None
-_POOL_LOCK = threading.Lock()
+# At most 2 concurrent background compiles, so the swap machinery never
+# floods the shared remote compile-service queue (killed/parallel jobs
+# degrade it for everyone — ROADMAP wedge incident). DAEMON threads
+# gated by a semaphore, not a ThreadPoolExecutor: the executor's
+# interpreter-exit join would hang a finishing CLI worker on held or
+# in-flight compiles the user no longer wants.
+_SLOTS = threading.Semaphore(2)
 
 # Every DualModeJit instance, so callers (bench.py) can wait for all
 # in-flight background unrolled compiles before timing warm reps.
 _INSTANCES: list = []
 
+# Background compiles are HELD until the foreground cold path is done:
+# the remote compile service schedules concurrent requests against each
+# other, so unrolled twins compiling DURING the lean-served first prove
+# slow the exact compiles the user is waiting on (measured: the
+# first-prove window stretched from ~3 min lean-only toward the ~9 min
+# lean+unrolled total). cli.py/bench.py call release_background() when
+# the first prove returns; the fallback timer below releases anyway if
+# no one does (library users without the hook).
+_RELEASE = threading.Event()
+_RELEASE_FALLBACK_S = float(os.environ.get("ISTPU_SERVE_LEAN_HOLD", "900"))
+_FALLBACK_TIMER: threading.Timer | None = None
 
-def _pool() -> ThreadPoolExecutor:
-    global _POOL
-    with _POOL_LOCK:
-        if _POOL is None:
-            _POOL = ThreadPoolExecutor(
-                max_workers=2, thread_name_prefix="istpu-unroll-compile"
-            )
-        return _POOL
+
+def release_background() -> None:
+    """Let held background unrolled compiles start (idempotent)."""
+    _RELEASE.set()
+
+
+def _reset_release_for_tests() -> None:
+    """Re-arm the hold (tests only — the release event is process-global)."""
+    global _FALLBACK_TIMER
+    if _FALLBACK_TIMER is not None:
+        _FALLBACK_TIMER.cancel()
+        _FALLBACK_TIMER = None
+    _RELEASE.clear()
+
+
+def _arm_fallback() -> None:
+    global _FALLBACK_TIMER
+    if _RELEASE.is_set() or _FALLBACK_TIMER is not None:
+        return
+    _FALLBACK_TIMER = threading.Timer(_RELEASE_FALLBACK_S, _RELEASE.set)
+    _FALLBACK_TIMER.daemon = True
+    _FALLBACK_TIMER.start()
+
+
+def _spawn(fn, *args) -> None:
+    t = threading.Thread(
+        target=fn, args=args, daemon=True, name="istpu-unroll-compile"
+    )
+    t.start()
 
 
 def _active() -> bool:
@@ -147,7 +179,14 @@ class DualModeJit:
         mark `key` ready. The one discarded execution (~1 s at prove
         shapes) keeps this on jit's own dispatch cache — an AOT
         .compile() here would NOT be reused by later ordinary calls
-        (measured, ROADMAP) so the twin is called, not AOT'd."""
+        (measured, ROADMAP) so the twin is called, not AOT'd.
+
+        Held on _RELEASE first: compiling the unrolled twin WHILE the
+        foreground still waits on lean compiles contends at the shared
+        compile service (module docstring). _SLOTS caps service
+        concurrency at 2."""
+        _RELEASE.wait()
+        _SLOTS.acquire()
         try:
             out = self._full(*args, **kwargs)
             jax.block_until_ready(out)
@@ -160,6 +199,7 @@ class DualModeJit:
                 file=sys.stderr, flush=True,
             )
         finally:
+            _SLOTS.release()
             with self._state_lock:
                 self._inflight.discard(key)
 
@@ -188,7 +228,8 @@ class DualModeJit:
         if use_full:
             return self._full(*args, **kwargs)
         if spawn:
-            _pool().submit(self._compile_full, key, args, kwargs)
+            _arm_fallback()
+            _spawn(self._compile_full, key, args, kwargs)
         out = self._lean(*args, **kwargs)
         with self._state_lock:
             self._lean_done.add(key)
@@ -199,9 +240,12 @@ def wait_all_ready(timeout: float = 900.0, log=None) -> bool:
     """Block until every background unrolled compile has landed (or
     timeout). bench.py calls this between the first (lean-served) prove
     and the timed warm reps so the headline number measures the
-    unrolled graphs, not the lean ones. Returns True if drained."""
+    unrolled graphs, not the lean ones. Releases held background
+    compiles first (waiting on a held job would deadlock until the
+    fallback timer). Returns True if drained."""
     import time
 
+    release_background()
     t0 = time.time()
     while time.time() - t0 < timeout:
         n = sum(w.pending() for w in _INSTANCES)

@@ -49,17 +49,29 @@ def test_lean_serves_then_swaps(monkeypatch):
     import random
 
     rng = random.Random(8)
-    w = serve_lean.dual_mode_jit(_toy_fn)
-    a, b = _rand_limbs(rng, 8), _rand_limbs(rng, 8)
+    serve_lean._reset_release_for_tests()
+    try:
+        w = serve_lean.dual_mode_jit(_toy_fn)
+        a, b = _rand_limbs(rng, 8), _rand_limbs(rng, 8)
 
-    lean_out = np.asarray(w(a, b))  # first call: lean twin + bg spawn
-    key = w._key((a, b), {})
-    assert key in w._lean_done
+        lean_out = np.asarray(w(a, b))  # first call: lean twin + bg spawn
+        key = w._key((a, b), {})
+        assert key in w._lean_done
 
-    deadline = time.time() + 120
-    while key not in w._ready and time.time() < deadline:
-        time.sleep(0.1)
-    assert key in w._ready, "background unrolled compile never landed"
+        # the background compile is HELD until release_background():
+        # compiling the unrolled twin during the foreground cold path
+        # would contend at the shared compile service
+        time.sleep(1.0)
+        assert key not in w._ready, "background compile ran while held"
+        assert w.pending() == 1
+
+        serve_lean.release_background()
+        deadline = time.time() + 120
+        while key not in w._ready and time.time() < deadline:
+            time.sleep(0.1)
+        assert key in w._ready, "background unrolled compile never landed"
+    finally:
+        serve_lean.release_background()
 
     full_out = np.asarray(w(a, b))  # now served by the unrolled twin
     np.testing.assert_array_equal(lean_out, full_out)

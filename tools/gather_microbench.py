@@ -116,21 +116,13 @@ def main():
     dt = bench(packed_gather, (packed, perm))
     print(f"packed rows+T+unpack     {dt*1e3:8.3f} ms  {16*n*4/dt/1e9:7.1f} GB/s (payload {32*n*4/dt/1e9:.1f})")
 
-    # Pallas per-row DMA gather (ops/pallas_gather.py) on the same
-    # packed table; issue-rate-bound expectation — measure honestly
-    try:
-        from icicle_snark_tpu.ops.pallas_gather import gather_rows
-
-        def pallas_gather(rm, idx, salt):
-            return gather_rows(rm, rot(idx, salt)).T
-
-        dt = bench(pallas_gather, (packed, perm), iters=8)
-        print(f"pallas DMA rows (n,16)   {dt*1e3:8.3f} ms  {16*n*4/dt/1e9:7.1f} GB/s")
-        dt = bench(lambda rm, idx, salt: gather_rows(rm, rot(idx, salt)).T,
-                   (row_major, perm), iters=8)
-        print(f"pallas DMA rows (n,32)   {dt*1e3:8.3f} ms  {32*n*4/dt/1e9:7.1f} GB/s")
-    except Exception as e:  # pragma: no cover - TPU-only path
-        print(f"pallas DMA gather: {type(e).__name__}: {e}")
+    # The Pallas per-row DMA gather (retired round 5) measured issue-
+    # rate-bound on 64 B rows, and this jax's Mosaic additionally
+    # rejects sub-128-lane row slices ("Slice shape along dimension 1
+    # must be aligned to tiling (128)") — the sort-payload reorder
+    # (variant d above, ISTPU_SORT_PAYLOAD) removed the per-window
+    # gather entirely, so the alternative is moot. ROADMAP holds the
+    # history.
 
 
 if __name__ == "__main__":
