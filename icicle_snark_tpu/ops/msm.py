@@ -642,21 +642,11 @@ def _window_bucket_prefixes(points, rows_t, keys_w, neg_w, ops, c: int,
         # (4.4) cost 5.5 ms — the gather/transpose phase disappears and
         # unpacking sorted COLUMNS is elementwise (no lane transpose).
         # Same stable order as argsort -> bit-identical downstream.
-        # The payload is CHUNKED to <= 16 columns per sort: ONE
-        # 33-operand sort (G2's 32 packed columns + key) is the case
-        # whose XLA:TPU compile blows up (the 100k first prove stalled
-        # >50 min on it twice), while 17-operand sorts compile
-        # unremarkably. Each chunk re-sorts the same key; the sort is
-        # stable, so every chunk applies the identical permutation.
-        n_cols = rows_t.shape[0]
-        key_sorted = None
-        sorted_cols = []
-        for lo in range(0, n_cols, 16):
-            chunk = [rows_t[i] for i in range(lo, min(lo + 16, n_cols))]
-            out = jax.lax.sort([key2] + chunk, num_keys=1)
-            key_sorted = out[0]
-            sorted_cols.extend(out[1:])
-        sp = jnp.stack(sorted_cols, axis=0)             # (R/2, total)
+        sorted_ops = jax.lax.sort(
+            [key2] + [rows_t[i] for i in range(rows_t.shape[0])], num_keys=1
+        )
+        key_sorted = sorted_ops[0]
+        sp = jnp.stack(sorted_ops[1:], axis=0)          # (R/2, total)
         rows_sorted = jnp.stack(
             [sp & np.uint32(0xFFFF), sp >> np.uint32(16)], axis=1
         ).reshape(2 * sp.shape[0], total)               # (R, total)
@@ -801,11 +791,18 @@ def _windows_pipeline(points, keys, negs, ops, c, k, n_groups, signed):
     # through the per-window variadic sort — no transpose anywhere.
     # gather mode (ISTPU_SORT_PAYLOAD=0): packed ROWS (total, R/2) for
     # the argsort + row-gather reorder (_pack_rows).
-    # Sort-payload applies to every pipeline: wide payloads (G2's 32
-    # packed columns) are chunked into <= 17-operand sorts inside
-    # _window_bucket_prefixes, sidestepping the 33-operand XLA:TPU
-    # compile blow-up that forced a G1-only gate mid-round.
-    sort_payload = _os.environ.get("ISTPU_SORT_PAYLOAD", "1") != "0"
+    # Narrow payloads only (BN254 G1 affine: 16 packed columns + key).
+    # The G2-class pipelines keep the argsort + row-gather reorder:
+    # both the single 33-operand sort AND a chunked pair of 17-operand
+    # sorts compile pathologically on XLA:TPU at the prove shape
+    # (measured: 1252 s vs the gather path's 163 s for the full G2
+    # module — an +18 min first-prove tax for a ~100 ms-class runtime
+    # win; ISTPU_SORT_PAYLOAD=force overrides for probes).
+    n_rows = sum(int(np.prod(a.shape[:-1])) for a in points)
+    _sp_env = _os.environ.get("ISTPU_SORT_PAYLOAD", "1")
+    sort_payload = _sp_env == "force" or (
+        _sp_env == "1" and n_rows // 2 <= 16
+    )
     if sort_payload:
         rows = jnp.concatenate(
             [a.reshape(-1, a.shape[-1]) for a in points], axis=0)
