@@ -54,7 +54,14 @@ import os as _os
 
 # re-fit round 2 after the searchsorted->histogram fix shrank the
 # bucket phase (v5e c-sweep at 4x2^16: best c=12; beta=6 reproduces it)
-MSM_BETA = float(_os.environ.get("ISTPU_MSM_BETA", "6"))
+# Bucket-phase cost per bucket in EC-add lane-units. Recalibrated in
+# round 5 after the sort-payload reorder cheapened the per-window fixed
+# costs: the 431k-lane c sweep measured c11/12/13/14 = 905/857/821/886
+# ms (tools/msm_c_sweep.py), and beta=4 reproduces those ratios within
+# ~1% and picks the measured-optimal c=13 (beta=6, calibrated round 2
+# pre-reorder, picked c=12). G2's measured-optimal (13, 4) plan is
+# unchanged under beta=4.
+MSM_BETA = float(_os.environ.get("ISTPU_MSM_BETA", "4"))
 
 
 def choose_c(n: int, groups: int = 1) -> int:
